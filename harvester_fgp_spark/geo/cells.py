@@ -1,0 +1,183 @@
+"""S2-style 64-bit hierarchical cell ids (SURVEY.md §2.4 G1-G3, §7.4-1).
+
+No h3/s2 wheels exist in this sandbox, so the engine defines its own
+hierarchical id with the one property the join rewrites need:
+**prefix containment** — the id of a cell's parent at a coarser level is a
+bit-prefix (right-shift) of the child's id. That turns spatial range joins
+into equi-joins on a computed prefix key that Catalyst can plan natively
+(SURVEY §2.5 J3).
+
+Layout ("S2-style, not S2-compatible"):
+
+    cell_id(level k) = Morton/Z-order interleave of the k-bit quantized
+    (x, y) grid position over the equirectangular plane
+    lon ∈ [-180, 180], lat ∈ [-90, 90]:
+
+        x = floor((lon + 180) / 360 * 2^k)   clamped to [0, 2^k - 1]
+        y = floor(( 90 - lat) / 180 * 2^k)   clamped to [0, 2^k - 1]
+        cell = interleave(x, y)              # 2k bits, x in even positions
+
+    parent at level j < k:  cell >> 2*(k - j)
+
+The level is carried out-of-band (a column/constant), keeping the id a
+plain LongType Catalyst can shift/mask natively — G3 needs **no UDF**.
+Everything below is whole-array numpy; no Python-level per-row loops over
+points (the only Python loop is over *bboxes* in the batched cover, where
+each iteration does array work).
+
+Join contract for covers: polygon/bbox covers are emitted at a fixed
+``COVER_LEVEL`` (coarse); the point side joins via
+``parent(point_cell_at_DEFAULT_LEVEL, COVER_LEVEL)``. At COVER_LEVEL=7 the
+whole-world worst case is 4^7 = 16384 cells per bbox, and realistic
+collection polygons (≤ ~10°) cover a handful — bounded explode fan-out by
+construction, which is what survives a 100× scale-up.
+
+Reference parity note: harvester-FGP has no spatial index at all (it emits
+raw EX_GeographicBoundingBox bounds, SURVEY §1.1); cells are a new-engine
+capability mandated by BASELINE.json:14.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_LEVEL = 26  # 2*26 = 52 bits < 63, stays positive in a signed int64
+DEFAULT_LEVEL = 12  # point-encode level (G1)
+COVER_LEVEL = 7  # bbox/polygon cover level (G2) and coarse-join key level
+
+
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of each uint64 so bit i moves to bit 2i."""
+    v = v.astype(np.uint64)
+    v &= np.uint64(0x00000000FFFFFFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def _compact1by1(v: np.ndarray) -> np.ndarray:
+    """Inverse of _part1by1: gather even bits back into the low 32."""
+    v = v.astype(np.uint64)
+    v &= np.uint64(0x5555555555555555)
+    v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return v
+
+
+def lonlat_to_xy(
+    lon: np.ndarray, lat: np.ndarray, level: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Quantize lon/lat to the level-k integer grid (clamped)."""
+    n = np.int64(1) << np.int64(level)
+    x = np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / 360.0 * n).astype(
+        np.int64
+    )
+    y = np.floor((90.0 - np.asarray(lat, dtype=np.float64)) / 180.0 * n).astype(
+        np.int64
+    )
+    np.clip(x, 0, n - 1, out=x)
+    np.clip(y, 0, n - 1, out=y)
+    return x, y
+
+
+def interleave_xy(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Morton interleave of grid positions -> int64 cell ids."""
+    return (_part1by1(x) | (_part1by1(y) << np.uint64(1))).astype(np.int64)
+
+
+def encode(lon: np.ndarray, lat: np.ndarray, level: int = DEFAULT_LEVEL) -> np.ndarray:
+    """G1: lon/lat arrays -> int64 cell ids at `level` (vectorized)."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}], got {level}")
+    x, y = lonlat_to_xy(lon, lat, level)
+    return interleave_xy(x, y)
+
+
+def decode_xy(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of the interleave: cell ids -> (x, y) grid positions."""
+    c = np.asarray(cell).astype(np.uint64)
+    return (
+        _compact1by1(c).astype(np.int64),
+        _compact1by1(c >> np.uint64(1)).astype(np.int64),
+    )
+
+
+def parent(cell: np.ndarray, level: int, parent_level: int) -> np.ndarray:
+    """G3: truncate ids from `level` to coarser `parent_level` (pure shift).
+
+    The Spark-native equivalent (used in the actual plan so G3 never leaves
+    the JVM) is ``F.shiftrightunsigned(col, 2 * (level - parent_level))``.
+    """
+    if parent_level > level:
+        raise ValueError("parent_level must be <= level")
+    return np.asarray(cell, dtype=np.int64) >> np.int64(2 * (level - parent_level))
+
+
+def cell_bounds(cell: np.ndarray, level: int) -> tuple[np.ndarray, ...]:
+    """(west, south, east, north) of each cell at `level`."""
+    x, y = decode_xy(cell)
+    n = float(1 << level)
+    west = x / n * 360.0 - 180.0
+    east = (x + 1) / n * 360.0 - 180.0
+    north = 90.0 - y / n * 180.0
+    south = 90.0 - (y + 1) / n * 180.0
+    return west, south, east, north
+
+
+def cover_bbox(
+    west: float, south: float, east: float, north: float, level: int = COVER_LEVEL
+) -> np.ndarray:
+    """G2: all level-`level` cells intersecting one bbox (sorted int64).
+
+    Exact cover (no over/under-approximation beyond grid quantization).
+    Degenerate/inverted boxes (west > east) are treated as empty — the
+    antimeridian split is the E2 miner's job, upstream.
+    """
+    if west > east or south > north:
+        return np.empty(0, dtype=np.int64)
+    x0, y1 = lonlat_to_xy(np.array([west]), np.array([south]), level)
+    x1, y0 = lonlat_to_xy(np.array([east]), np.array([north]), level)
+    xs = np.arange(int(x0[0]), int(x1[0]) + 1, dtype=np.int64)
+    ys = np.arange(int(y0[0]), int(y1[0]) + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys)
+    cells = interleave_xy(gx.ravel(), gy.ravel())
+    cells.sort()
+    return cells
+
+
+def cover_bboxes_batch(
+    west: np.ndarray,
+    south: np.ndarray,
+    east: np.ndarray,
+    north: np.ndarray,
+    level: int = COVER_LEVEL,
+) -> list[np.ndarray]:
+    """Batched G2 for the pandas-UDF path: one cover array per input bbox."""
+    out: list[np.ndarray] = []
+    for w, s, e, n in zip(west, south, east, north):
+        if not (
+            np.isfinite(w) and np.isfinite(s) and np.isfinite(e) and np.isfinite(n)
+        ):
+            out.append(np.empty(0, dtype=np.int64))
+        else:
+            out.append(cover_bbox(float(w), float(s), float(e), float(n), level))
+    return out
+
+
+def morton_interleave_sql(x_expr: str, y_expr: str, level: int) -> str:
+    """ANSI-SQL longhand for interleave_xy — the DuckDB oracle for G1.
+
+    Emits ``sum_b( ((x>>b)&1) << 2b | ((y>>b)&1) << (2b+1) )`` as explicit
+    terms so the oracle needs no UDF on the DuckDB side (SURVEY §5.2-2).
+    """
+    terms = []
+    for b in range(level):
+        terms.append(f"((({x_expr} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y_expr} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
