@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship geo pipeline on sf0.001;
+``queries()``/``oracle_sql()`` expose one entry per implemented operator
+from SURVEY.md §2 (+ the training-data ops), checked against DuckDB on the
+same parquet at sf0.01.
+
+Oracle-exactness strategy (see harvester_fgp_spark/plans/derived.py):
+geo inputs are derived from doc_id with integer arithmetic + exact IEEE
+ops so Spark and DuckDB agree bit-for-bit; aggregates over stored doubles
+are cast to DECIMAL before summing (exact in both engines) and cast back
+to double for output; libm-dependent values (trig/log) are rounded before
+comparison or ranking.
 """
 
 from __future__ import annotations
@@ -12,27 +18,697 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from harvester_fgp_spark.geo.cells import morton_interleave_sql
+from harvester_fgp_spark.operators import geo as G
+from harvester_fgp_spark.plans import derived as D
+
+SF0001 = "/root/testdata/sf0.001"
+
+CELL_LEVEL = 5  # coarse agg level for oracle-checked cell queries
+TILE_Z = 8
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derived points -> native cell encode -> box cover join ->
+    web-mercator tiles -> per-(tile, box) counts (SURVEY §7.2)."""
+    return _q_geo_box_tile_summary(spark, SF0001)
+
+
+# ---------------------------------------------------------------------------
+# geo queries (SURVEY §2.4) — over derived points/boxes
+# ---------------------------------------------------------------------------
+
+
+def _q_geo_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = D.points_from_documents(spark, sf_dir)
+    return (
+        pts.withColumn(
+            "cell_id", G.cell_encode_col(F.col("lon"), F.col("lat"), CELL_LEVEL)
+        )
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def _q_geo_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = D.points_from_documents(spark, sf_dir)
+    tx, ty = G.tile_cols(F.col("lon"), F.col("lat"), TILE_Z)
+    return (
+        pts.withColumn("tile_x", tx.cast("long"))
+        .withColumn("tile_y", ty.cast("long"))
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def _boxes_with_cover(spark: SparkSession) -> DataFrame:
+    """Boxes + exploded COVER_LEVEL cell cover — fully NATIVE G2 for
+    rectangles: sequence() + explode + Morton interleave in codegen."""
+    bx = D.boxes(spark)
+    x0, y1 = D.grid_xy_cols(F.col("west"), F.col("south"), CELL_LEVEL)
+    x1, y0 = D.grid_xy_cols(F.col("east"), F.col("north"), CELL_LEVEL)
+    return (
+        bx.withColumn("gx", F.explode(F.sequence(x0, x1)))
+        .withColumn("gy", F.explode(F.sequence(y0, y1)))
+        .withColumn(
+            "cover_cell",
+            G._spread_bits_col(F.col("gx")).bitwiseOR(
+                F.shiftleft(G._spread_bits_col(F.col("gy")), 1)
+            ),
+        )
+    )
+
+
+def _q_geo_box_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J3+G4(coarse+exact): cover-cell equi-join then exact containment.
+
+    The equi-join on COVER_LEVEL cells is what scales (broadcast hash join
+    on a long key); the exact bounds check then removes cover false
+    positives. Result == plain containment join, without a nested-loop.
+    """
+    pts = D.points_from_documents(spark, sf_dir).withColumn(
+        "cell5", G.cell_encode_col(F.col("lon"), F.col("lat"), CELL_LEVEL)
+    )
+    cover = _boxes_with_cover(spark).select(
+        "box_id", "west", "south", "east", "north", "cover_cell"
+    )
+    joined = pts.join(
+        F.broadcast(cover), pts["cell5"] == cover["cover_cell"], "inner"
+    ).filter(
+        (F.col("lon") >= F.col("west"))
+        & (F.col("lon") <= F.col("east"))
+        & (F.col("lat") >= F.col("south"))
+        & (F.col("lat") <= F.col("north"))
+    )
+    return joined.groupBy("box_id").agg(F.count("*").alias("n_points"))
+
+
+def _q_geo_box_tile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship body: matched/unmatched points per tile (left cover join)."""
+    pts = D.points_from_documents(spark, sf_dir).withColumn(
+        "cell5", G.cell_encode_col(F.col("lon"), F.col("lat"), CELL_LEVEL)
+    )
+    cover = _boxes_with_cover(spark).select(
+        "box_id", "west", "south", "east", "north", "cover_cell"
+    )
+    matched = (
+        pts.join(F.broadcast(cover), pts["cell5"] == cover["cover_cell"], "left")
+        .withColumn(
+            "in_box",
+            F.when(
+                (F.col("lon") >= F.col("west"))
+                & (F.col("lon") <= F.col("east"))
+                & (F.col("lat") >= F.col("south"))
+                & (F.col("lat") <= F.col("north")),
+                F.col("box_id"),
+            ),
+        )
+        .groupBy("doc_id", "lat", "lon")
+        .agg(F.min("in_box").alias("box_id"))
+    )
+    tx, ty = G.tile_cols(F.col("lon"), F.col("lat"), TILE_Z)
+    return (
+        matched.withColumn("tile_x", tx.cast("long"))
+        .withColumn("tile_y", ty.cast("long"))
+        .groupBy("tile_x", "tile_y", "box_id")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def _q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5/G6/W1: 3 nearest box centroids per sampled point (haversine)."""
+    pts = D.points_from_documents(spark, sf_dir).filter(
+        F.col("doc_id") % 29 == 0
+    )
+    ctr = D.boxes(spark).select(
+        "box_id",
+        ((F.col("west") + F.col("east")) / F.lit(2.0)).alias("c_lon"),
+        ((F.col("south") + F.col("north")) / F.lit(2.0)).alias("c_lat"),
+    )
+    j = pts.crossJoin(F.broadcast(ctr)).withColumn(
+        "dist_km",
+        F.round(
+            G.haversine_km_col(
+                F.col("lat"), F.col("lon"), F.col("c_lat"), F.col("c_lon")
+            ),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("dist_km").asc(), F.col("box_id").asc())
+    return (
+        j.withColumn("knn_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("knn_rank") <= 3)
+        .select("doc_id", "box_id", "knn_rank", "dist_km")
+    )
+
+
+def _q_geo_haversine_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = D.points_from_documents(spark, sf_dir)
+    d = G.haversine_km_col(
+        F.col("lat"), F.col("lon"), F.lit(45.4215), F.lit(-75.6972)
+    )
+    return (
+        pts.withColumn("dist_km", F.round(d, 3))
+        .filter(F.col("dist_km") <= 5000.0)
+        .agg(
+            F.count("*").alias("n_within"),
+            F.round(F.sum("dist_km"), 3).alias("sum_dist"),
+        )
+    )
+
+
+def _q_geo_bbox_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 as data: per-box cover cells -> cells shared by >= 2 boxes."""
+    cover = _boxes_with_cover(spark)
+    return (
+        cover.groupBy("cover_cell")
+        .agg(F.countDistinct("box_id").alias("n_boxes"))
+        .filter(F.col("n_boxes") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (SURVEY §2.5-2.9) — driver tables
+# ---------------------------------------------------------------------------
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    disc_price = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+def _q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def _q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(_dec("value")).over(w).cast("double").alias("running_value"),
+    )
+
+
+def _q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+    )
+
+
+def _q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    with_f_orders = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return cust.exceptAll(with_f_orders.distinct()).select("custkey")
+
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on a corpus with planted duplicates."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 10000)
+    corpus = docs.unionByName(dup)
+    groups = corpus.groupBy(F.sha2(F.col("text"), 256).alias("h")).agg(
+        F.count("*").alias("cnt"), F.min("doc_id").alias("keep_id")
+    )
+    return groups.filter(F.col("cnt") > 1).agg(
+        F.count("*").alias("n_dup_groups"),
+        F.sum(F.col("cnt") - 1).alias("n_removable"),
+        F.sum("keep_id").alias("sum_keep_ids"),
+    )
+
+
+def _q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    ws_tokens = F.size(F.split(F.col("text"), " "))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ws_tokens).cast("long").alias("sum_ws_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def _q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary plumbing: utf-8 byte lengths of text payloads."""
+    docs = _read(spark, sf_dir, "documents")
+    nbytes = F.length(F.col("text").cast("binary"))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(nbytes).cast("long").alias("sum_bytes"),
+        F.max(nbytes).cast("long").alias("max_bytes"),
+    )
+
+
+def _q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per sampled query vector (native zip_with
+    + aggregate — no UDF)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+
+    def _dot(a: str, b: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    j = (
+        qs.crossJoin(cs)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot("q_emb", "c_emb")
+                / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("c_emb", "c_emb"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "c_id", "rank", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible ops (rows-only driver check)
+# ---------------------------------------------------------------------------
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harvester_fgp_spark.operators.dedup import minhash_near_dup_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 10000)
+    return minhash_near_dup_pairs(docs.unionByName(dup), id_col="doc_id")
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harvester_fgp_spark.operators.dedup import simhash_buckets
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_buckets(docs, id_col="doc_id")
+
+
+def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harvester_fgp_spark.operators.textops import with_text_analysis
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        with_text_analysis(docs)
+        .groupBy("lang", "detected_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harvester_fgp_spark.operators.similarity import ann_lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_lsh_topk(emb, qs, k=5)
+
+
+def _q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full E1->E2->G1->G4->G7 pipeline on synthetic pages (rows-only)."""
+    from harvester_fgp_spark.plans.pipeline import mine_records, tile_summary
+    from harvester_fgp_spark.synth import generate_polygons, pages_df
+
+    pages = pages_df(spark, 2000, seed=42)
+    return tile_summary(mine_records(spark, pages, generate_polygons(100, seed=42)))
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "geo_cell_encode": _q_geo_cell_encode,
+        "geo_tile_assign": _q_geo_tile_assign,
+        "geo_box_join": _q_geo_box_join,
+        "geo_box_tile_summary": _q_geo_box_tile_summary,
+        "geo_knn": _q_geo_knn,
+        "geo_haversine_within": _q_geo_haversine_within,
+        "geo_bbox_cover": _q_geo_bbox_cover,
+        "tpch_q1_pricing": _q_tpch_q1,
+        "tpch_q3_revenue_topk": _q_tpch_q3,
+        "join_regions": _q_join_regions,
+        "window_top_orders": _q_window_top_orders,
+        "window_running_sum": _q_window_running_sum,
+        "rollup_orders": _q_rollup_orders,
+        "set_except_customers": _q_set_except,
+        "json_props": _q_json_props,
+        "dedup_exact": _q_dedup_exact,
+        "text_tokens": _q_text_tokens,
+        "multimodal_binary": _q_multimodal_binary,
+        "sim_cosine_topk": _q_sim_cosine_topk,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "text_analysis": _q_text_analysis,
+        "ann_lsh": _q_ann_lsh,
+        "pipeline_flagship": _q_pipeline_flagship,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    pts = D.POINTS_SQL
+    boxes = D.BOXES_SQL
+    gx5, gy5 = D.grid_xy_sql("lon", "lat", CELL_LEVEL)
+    morton5 = morton_interleave_sql("gx", "gy", CELL_LEVEL)
+    bgx0, bgy1 = D.grid_xy_sql("west", "south", CELL_LEVEL)
+    bgx1, bgy0 = D.grid_xy_sql("east", "north", CELL_LEVEL)
+    n8 = float(1 << TILE_Z)
+    merc = 85.05112878
+    tile_x = (
+        f"GREATEST(0, LEAST({(1 << TILE_Z) - 1}, "
+        f"CAST(FLOOR((lon + 180.0) / 360.0 * {n8}) AS BIGINT)))"
+    )
+    lat_rad = f"RADIANS(GREATEST({-merc}, LEAST({merc}, lat)))"
+    asinh_t = f"LN(TAN({lat_rad}) + SQRT(TAN({lat_rad}) * TAN({lat_rad}) + 1.0))"
+    tile_y = (
+        f"GREATEST(0, LEAST({(1 << TILE_Z) - 1}, "
+        f"CAST(FLOOR((1.0 - {asinh_t} / PI()) / 2.0 * {n8}) AS BIGINT)))"
+    )
+    hav = (
+        "2.0 * 6371.0088 * ATAN2(SQRT("
+        "POW(SIN((RADIANS({lat2}) - RADIANS({lat1})) / 2), 2) "
+        "+ COS(RADIANS({lat1})) * COS(RADIANS({lat2})) "
+        "* POW(SIN((RADIANS({lon2}) - RADIANS({lon1})) / 2), 2)"
+        "), SQRT(1 - ("
+        "POW(SIN((RADIANS({lat2}) - RADIANS({lat1})) / 2), 2) "
+        "+ COS(RADIANS({lat1})) * COS(RADIANS({lat2})) "
+        "* POW(SIN((RADIANS({lon2}) - RADIANS({lon1})) / 2), 2)"
+        ")))"
+    )
+
+    boxes_cover = f"""
+        WITH boxes AS ({boxes}),
+        bx AS (
+            SELECT box_id, west, south, east, north,
+                   UNNEST(range({bgx0}, {bgx1} + 1)) AS gx
+            FROM boxes
+        ),
+        bxy AS (
+            SELECT box_id, west, south, east, north, gx,
+                   UNNEST(range({bgy0}, {bgy1} + 1)) AS gy
+            FROM bx
+        ),
+        cover AS (
+            SELECT box_id, west, south, east, north,
+                   {morton_interleave_sql('gx', 'gy', CELL_LEVEL)} AS cover_cell
+            FROM bxy
+        )
     """
-    return {}
+
+    return {
+        "geo_cell_encode": f"""
+            WITH pts AS ({pts}),
+            cells AS (
+                SELECT {morton5} AS cell_id
+                FROM (SELECT {gx5} AS gx, {gy5} AS gy FROM pts)
+            )
+            SELECT cell_id, COUNT(*) AS n_points FROM cells GROUP BY cell_id
+        """,
+        "geo_tile_assign": f"""
+            WITH pts AS ({pts})
+            SELECT {tile_x} AS tile_x, {tile_y} AS tile_y, COUNT(*) AS n_points
+            FROM pts GROUP BY 1, 2
+        """,
+        "geo_box_join": f"""
+            WITH pts AS ({pts}), boxes AS ({boxes})
+            SELECT box_id, COUNT(*) AS n_points
+            FROM pts JOIN boxes
+              ON lon >= west AND lon <= east AND lat >= south AND lat <= north
+            GROUP BY box_id
+        """,
+        "geo_box_tile_summary": f"""
+            WITH pts AS ({pts}), boxes AS ({boxes}),
+            matched AS (
+                SELECT p.doc_id, p.lat, p.lon, MIN(b.box_id) AS box_id
+                FROM pts p LEFT JOIN boxes b
+                  ON p.lon >= b.west AND p.lon <= b.east
+                 AND p.lat >= b.south AND p.lat <= b.north
+                GROUP BY p.doc_id, p.lat, p.lon
+            )
+            SELECT {tile_x} AS tile_x, {tile_y} AS tile_y, box_id,
+                   COUNT(*) AS n_points
+            FROM matched GROUP BY 1, 2, 3
+        """,
+        "geo_knn": f"""
+            WITH pts AS ({pts}), boxes AS ({boxes}),
+            ctr AS (
+                SELECT box_id, (west + east) / 2.0 AS c_lon,
+                       (south + north) / 2.0 AS c_lat
+                FROM boxes
+            ),
+            d AS (
+                SELECT p.doc_id, c.box_id,
+                       ROUND({hav.format(lat1='p.lat', lon1='p.lon', lat2='c.c_lat', lon2='c.c_lon')}, 6) AS dist_km
+                FROM pts p CROSS JOIN ctr c
+                WHERE p.doc_id % 29 = 0
+            )
+            SELECT doc_id, box_id, knn_rank, dist_km FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY dist_km ASC, box_id ASC
+                ) AS knn_rank FROM d
+            ) WHERE knn_rank <= 3
+        """,
+        "geo_haversine_within": f"""
+            WITH pts AS ({pts}),
+            d AS (
+                SELECT ROUND({hav.format(lat1='lat', lon1='lon', lat2='45.4215', lon2='(-75.6972)')}, 3) AS dist_km
+                FROM pts
+            )
+            SELECT COUNT(*) AS n_within, ROUND(SUM(dist_km), 3) AS sum_dist
+            FROM d WHERE dist_km <= 5000.0
+        """,
+        "geo_bbox_cover": f"""
+            {boxes_cover}
+            SELECT cover_cell, COUNT(DISTINCT box_id) AS n_boxes
+            FROM cover GROUP BY cover_cell HAVING COUNT(DISTINCT box_id) >= 2
+        """,
+        "tpch_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3_revenue_topk": """
+            SELECT o_orderkey, o_orderdate,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "join_regions": """
+            SELECT r_name, COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "window_top_orders": """
+            SELECT o_custkey, o_orderkey, rn FROM (
+                SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC
+                ) AS rn FROM orders
+            ) WHERE rn <= 2
+        """,
+        "window_running_sum": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS running_value
+            FROM events
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "set_except_customers": """
+            SELECT c_custkey AS custkey FROM customer
+            EXCEPT ALL
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            WHERE o_orderstatus = 'F'
+        """,
+        "json_props": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "dedup_exact": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id, text FROM documents
+            ),
+            groups AS (
+                SELECT COUNT(*) AS cnt, MIN(doc_id) AS keep_id
+                FROM corpus GROUP BY text
+            )
+            SELECT COUNT(*) AS n_dup_groups,
+                   CAST(SUM(cnt - 1) AS BIGINT) AS n_removable,
+                   CAST(SUM(keep_id) AS BIGINT) AS sum_keep_ids
+            FROM groups WHERE cnt > 1
+        """,
+        "text_tokens": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "multimodal_binary": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+                   CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+            FROM documents GROUP BY source
+        """,
+        "sim_cosine_topk": """
+            WITH qs AS (
+                SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+                WHERE vec_id % 50 = 0
+            ),
+            sims AS (
+                SELECT q.q_id, c.vec_id AS c_id,
+                       ROUND(
+                           list_dot_product(q.q_emb::DOUBLE[], c.embedding::DOUBLE[])
+                           / (SQRT(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
+                              * SQRT(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                           6
+                       ) AS cos_sim
+                FROM qs q CROSS JOIN embeddings c
+                WHERE c.vec_id != q.q_id
+            )
+            SELECT q_id, c_id, rank, cos_sim FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC
+                ) AS rank FROM sims
+            ) WHERE rank <= 5
+        """,
+        # dedup_minhash / dedup_simhash / text_analysis / ann_lsh /
+        # pipeline_flagship: non-SQL-expressible (hash kernels, pandas-UDF
+        # mining) -> rows-only driver check by design.
+    }

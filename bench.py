@@ -1,0 +1,108 @@
+"""Per-round benchmark. Prints ONE JSON line:
+
+  {"metric": "pages_per_sec_spatial_join", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., ...}
+
+Headline metric = pages/sec through the full spatial pipeline (E1/E2 mine
+-> G1 cells -> G4 broadcast-R-tree PIP -> G7 tiles -> A1 agg) on the
+deterministic seed-42 synthetic pages table (BASELINE.json's north
+metric). Driver tables at $SPARK_GRAFT_SF_DIR time the operator queries.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     HFS_BENCH_PAGES (default 200000 synthetic pages).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("HFS_BENCH_PAGES", "200000"))
+
+BENCH_QUERIES = (
+    "geo_box_tile_summary",
+    "geo_knn",
+    "geo_cell_encode",
+    "tpch_q1_pricing",
+    "tpch_q3_revenue_topk",
+    "window_top_orders",
+    "rollup_orders",
+    "sim_cosine_topk",
+    "dedup_minhash",
+    "text_analysis",
+)
+
+
+def _pages_parquet(spark, n: int) -> str:
+    """Materialize the seed-42 pages table once (cached across runs)."""
+    path = f"/tmp/hfs_bench_pages_{n}"
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        from harvester_fgp_spark.synth import pages_df
+
+        pages_df(spark, n, seed=42).repartition(max(CPUS * 2, 64)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from harvester_fgp_spark.plans.pipeline import mine_records, tile_summary
+    from harvester_fgp_spark.session import build_session
+    from harvester_fgp_spark.synth import generate_polygons
+
+    spark = build_session(
+        app_name="hfs-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 32),
+    )
+    t_all = time.monotonic()
+
+    # headline: spatial-join + tile-assignment throughput (pages/sec)
+    pages_path = _pages_parquet(spark, N_PAGES)
+    pages = spark.read.parquet(pages_path)
+    ppdf = generate_polygons(200, seed=42)
+    t0 = time.monotonic()
+    n_out = tile_summary(mine_records(spark, pages, ppdf)).count()
+    pipeline_sec = time.monotonic() - t0
+    pages_per_sec = N_PAGES / pipeline_sec
+
+    # operator queries at the driver sf dir
+    qs = E.queries()
+    timings: dict[str, float] = {"pipeline_spatial": round(pipeline_sec, 3)}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = time.monotonic() - t_all
+    print(
+        json.dumps(
+            {
+                "metric": "pages_per_sec_spatial_join",
+                "value": round(pages_per_sec, 1),
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "n_pages": N_PAGES,
+                "cpus": CPUS,
+                "pipeline_rows_out": n_out,
+                "total_sec": round(total, 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

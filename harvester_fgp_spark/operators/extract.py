@@ -1,0 +1,166 @@
+"""Extraction / normalization stages E1-E7 (SURVEY.md §2.3).
+
+Re-expresses the reference harvester's per-record XML field extraction
+([REF? harvest_hnap.py] — XPath + dict assembly, one record at a time) as
+Arrow-batched columnar stages. The kernels live in functions.text so the
+pytest oracle and the UDF path share one implementation (byte-identity
+invariant, BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import IntegerType, LongType, StringType
+
+from ..functions import text as _text
+from ..schemas import PAYLOADS_TYPE
+
+# --- E1: text extraction ----------------------------------------------------
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """html binary -> canonical text; Series.map over the Arrow batch.
+
+    The per-element work is the stdlib HTML parser (no vectorized parser
+    exists in-sandbox); batching still amortizes the JVM<->Python transfer,
+    which is the expensive part at scale.
+    """
+    return html.map(lambda b: _text.extract_text(bytes(b)) if b is not None else None)
+
+
+# --- E2: geo-payload miner ---------------------------------------------------
+
+
+@pandas_udf(PAYLOADS_TYPE)
+def mine_payloads_udf(text: pd.Series) -> pd.Series:
+    return text.map(_text.mine_payloads)
+
+
+def with_payloads(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """P5 prefilter -> E2 mine -> explode to one row per payload.
+
+    The rlike prefilter is NATIVE and sits before the UDF so predicate
+    pushdown / column pruning still reach the scan (SURVEY §4: predicates
+    cannot push through ArrowEvalPython).
+    """
+    return (
+        df.filter(F.col(text_col).rlike(r"-?\d+\.\d+\s*,\s*-?\d+\.\d+|west:"))
+        .withColumn("payload", F.explode(mine_payloads_udf(F.col(text_col))))
+        .select("*", "payload.*")
+        .drop("payload")
+    )
+
+
+# --- E3: bilingual normalization ---------------------------------------------
+
+
+@pandas_udf(StringType())
+def nfc_udf(s: pd.Series) -> pd.Series:
+    """Unicode NFC via the vectorized pandas string path."""
+    return s.str.normalize("NFC")
+
+
+def with_bilingual(df: DataFrame, col: str, out_prefix: str) -> DataFrame:
+    """Pair en/fr field values into *_en / *_fr columns keyed off lang.
+
+    Replaces the HNAP PT_FreeText pairing ([REF? harvest_hnap.py]):
+    fully native when/coalesce — the NFC pass is the only UDF and is
+    applied once upstream by the pipeline.
+    """
+    is_fr = F.col("lang") == F.lit("fr")
+    return df.withColumn(
+        f"{out_prefix}_en", F.when(~is_fr, F.col(col))
+    ).withColumn(f"{out_prefix}_fr", F.when(is_fr, F.col(col)))
+
+
+# --- E4: controlled-vocabulary mapping ---------------------------------------
+
+# Reconstruction of the reference's in-code mapping dicts
+# ([REF? harvest_hnap.py] — topic-category / frequency code maps).
+TOPIC_CATEGORIES = {
+    "farming": "Agriculture",
+    "biota": "Nature and Environment",
+    "boundaries": "Government and Politics",
+    "economy": "Economics and Industry",
+    "elevation": "Form Descriptors",
+    "environment": "Nature and Environment",
+    "health": "Health and Safety",
+    "imageryBaseMapsEarthCover": "Form Descriptors",
+    "inlandWaters": "Nature and Environment",
+    "oceans": "Nature and Environment",
+    "society": "Society and Culture",
+    "transportation": "Transport",
+}
+
+FREQUENCIES = {
+    "continual": "P1D",
+    "daily": "P1D",
+    "weekly": "P1W",
+    "fortnightly": "P2W",
+    "monthly": "P1M",
+    "quarterly": "P3M",
+    "biannually": "P6M",
+    "annually": "P1Y",
+    "asNeeded": "PT0S",
+    "irregular": "PT0S",
+    "notPlanned": "PT0S",
+    "unknown": "PT0S",
+}
+
+
+def vocab_map_col(mapping: dict[str, str], col: Column) -> Column:
+    """Vocab code -> label as a NATIVE map literal lookup (no UDF, E4)."""
+    pairs = [x for kv in mapping.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    return F.element_at(F.create_map(*pairs), col)
+
+
+# --- E5: temporal normalization ----------------------------------------------
+
+
+def with_temporal(df: DataFrame, ts_col: str = "warc_ts") -> DataFrame:
+    return df.withColumn("crawl_date", F.date_trunc("day", F.col(ts_col)))
+
+
+# --- E6: GeoJSON spatial serialization ---------------------------------------
+
+
+def geojson_bbox_col(west: Column, south: Column, east: Column, north: Column) -> Column:
+    """bbox -> GeoJSON Polygon string, fixed 6-decimal formatting (E6).
+
+    Byte-stable: format_string with explicit %.6f — never str(float)
+    (SURVEY §7.4-3). Mirrors the reference's `spatial` output field
+    ([REF? harvest_hnap.py] — EX_GeographicBoundingBox serialization).
+    """
+    return F.format_string(
+        '{"type": "Polygon", "coordinates": [[[%.6f, %.6f], [%.6f, %.6f], '
+        "[%.6f, %.6f], [%.6f, %.6f], [%.6f, %.6f]]]}",
+        west, south, east, south, east, north, west, north, west, south,
+    )
+
+
+# --- E7: stable record id ------------------------------------------------------
+
+
+def record_id_col(url: Column, ordinal: Column) -> Column:
+    """sha2(url + payload ordinal) — stands in for fileIdentifier
+    ([REF? harvest_hnap.py])."""
+    return F.sha2(F.concat_ws("#", url, ordinal.cast("string")), 256)
+
+
+# --- P2: validity filter + quarantine ------------------------------------------
+
+
+def split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid, quarantined) — preserves the reference's report-and-skip
+    behavior for invalid records ([REF? harvest_hnap.py] mandatory-field
+    checks) as a quarantine branch instead of a log line."""
+    cond = (
+        F.col("url").isNotNull()
+        & F.col("warc_ts").isNotNull()
+        & (F.col("html").isNotNull() | F.col("text").isNotNull())
+    )
+    return df.filter(cond), df.filter(~cond)

@@ -1,0 +1,289 @@
+"""Geospatial DataFrame stages G1-G7 (SURVEY.md §2.4).
+
+Division of labor, chosen for scale:
+- NATIVE Spark expressions (whole-stage codegen, no Python): cell encode
+  (G1 — Morton interleave via the magic-number spread, pure shift/mask
+  ops), tile assign (G7 point path), cell parent (G3), haversine (G6).
+- Arrow-batched pandas UDFs wrapping the numpy kernels: bbox cover (G2,
+  variable fan-out), exact PIP (G4 — broadcast PolygonIndex, deserialized
+  once per worker, not once per batch). A numpy G1 twin exists for
+  kernel-level tests and as the oracle for the native expression.
+
+The PIP join is two-phase (SURVEY §2.5 J1 + §2.4 G4): a coarse broadcast
+equi-join on COVER_LEVEL cell prefixes prunes the candidate space JVM-side,
+then the exact ray cast runs only on candidates. At 10^12 pages the coarse
+join is what keeps the Python boundary traffic proportional to candidate
+pairs, not to all pages.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from ..geo import cells as _cells
+from ..geo import pip as _pip
+from ..geo import tiles as _tiles
+
+# --- G1: point -> cell ---------------------------------------------------------
+
+
+def _spread_bits_col(v: Column) -> Column:
+    """Native Morton bit-spread (mirrors geo.cells._part1by1): bit i -> 2i."""
+    masks = (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    )
+    v = v.bitwiseAND(F.lit(0x00000000FFFFFFFF))
+    for shift, mask in masks:
+        v = (v.bitwiseOR(F.shiftleft(v, shift))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def cell_encode_col(
+    lon: Column, lat: Column, level: int = _cells.DEFAULT_LEVEL
+) -> Column:
+    """G1 as a pure-JVM expression — stays inside whole-stage codegen.
+
+    Exactly mirrors geo.cells.encode (same IEEE op order for the grid
+    quantization, same interleave); equality is property-tested in
+    tests/test_operators_spark.py.
+    """
+    n = 1 << level
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    y = F.floor((F.lit(90.0) - lat) / F.lit(180.0) * F.lit(float(n)))
+    nmax, zero = F.lit(n - 1), F.lit(0)
+    x = F.greatest(zero, F.least(nmax, x)).cast("long")
+    y = F.greatest(zero, F.least(nmax, y)).cast("long")
+    return _spread_bits_col(x).bitwiseOR(F.shiftleft(_spread_bits_col(y), 1))
+
+
+def cell_encode_udf(level: int = _cells.DEFAULT_LEVEL):
+    @pandas_udf(LongType())
+    def _encode(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = _cells.encode(
+            lon.to_numpy(dtype=np.float64, na_value=np.nan),
+            lat.to_numpy(dtype=np.float64, na_value=np.nan),
+            level,
+        )
+        res = pd.Series(out)
+        res[lon.isna() | lat.isna()] = None
+        return res
+
+    return _encode
+
+
+def with_cell(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    level: int = _cells.DEFAULT_LEVEL,
+    out: str = "cell_id",
+) -> DataFrame:
+    return df.withColumn(out, cell_encode_col(F.col(lon_col), F.col(lat_col), level))
+
+
+# --- G2: bbox -> cover ----------------------------------------------------------
+
+
+def cover_udf(level: int = _cells.COVER_LEVEL):
+    @pandas_udf(ArrayType(LongType()))
+    def _cover(
+        west: pd.Series, south: pd.Series, east: pd.Series, north: pd.Series
+    ) -> pd.Series:
+        covers = _cells.cover_bboxes_batch(
+            west.to_numpy(dtype=np.float64, na_value=np.nan),
+            south.to_numpy(dtype=np.float64, na_value=np.nan),
+            east.to_numpy(dtype=np.float64, na_value=np.nan),
+            north.to_numpy(dtype=np.float64, na_value=np.nan),
+            level,
+        )
+        return pd.Series([c.tolist() for c in covers])
+
+    return _cover
+
+
+# --- G3: cell parent (NATIVE — stays in codegen) --------------------------------
+
+
+def cell_parent_col(
+    cell: Column, level: int, parent_level: int
+) -> Column:
+    """Prefix truncation as a JVM-side shift; the J3 range-join key."""
+    if parent_level > level:
+        raise ValueError("parent_level must be <= level")
+    return F.shiftrightunsigned(cell, 2 * (level - parent_level))
+
+
+# --- G6: haversine (NATIVE) ------------------------------------------------------
+
+EARTH_RADIUS_KM = 6371.0088
+
+
+def haversine_km_col(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dp, dl = p2 - p1, F.radians(lon2) - F.radians(lon1)
+    a = F.sin(dp / 2) ** 2 + F.cos(p1) * F.cos(p2) * F.sin(dl / 2) ** 2
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.atan2(F.sqrt(a), F.sqrt(1 - a))
+
+
+# --- G7: point -> web-mercator tile (NATIVE) --------------------------------------
+
+
+def tile_cols(lon: Column, lat: Column, z: int) -> tuple[Column, Column]:
+    """OSM slippy formula as native expressions (asinh via ln form)."""
+    n = F.lit(float(1 << z))
+    lat_c = F.greatest(
+        F.lit(-_tiles.MERC_LAT_MAX), F.least(F.lit(_tiles.MERC_LAT_MAX), lat)
+    )
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n)
+    lat_rad = F.radians(lat_c)
+    # asinh(t) = ln(t + sqrt(t^2 + 1)) — matches the DuckDB oracle longhand
+    t = F.tan(lat_rad)
+    asinh_t = F.log(t + F.sqrt(t * t + F.lit(1.0)))
+    y = F.floor((F.lit(1.0) - asinh_t / F.lit(float(np.pi))) / F.lit(2.0) * n)
+    nmax = F.lit((1 << z) - 1)
+    x = F.greatest(F.lit(0), F.least(nmax, x)).cast("int")
+    y = F.greatest(F.lit(0), F.least(nmax, y)).cast("int")
+    return x, y
+
+
+def with_tile(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    z: int = _tiles.DEFAULT_TILE_Z,
+) -> DataFrame:
+    x, y = tile_cols(F.col(lon_col), F.col(lat_col), z)
+    return (
+        df.withColumn("tile_z", F.lit(z).cast("int"))
+        .withColumn("tile_x", x)
+        .withColumn("tile_y", y)
+    )
+
+
+def packed_tile_col(z: Column, x: Column, y: Column) -> Column:
+    """(z,x,y) -> int64 tile id — native shifts (checkpoint key)."""
+    return (
+        F.shiftleft(z.cast("long"), 58)
+        .bitwiseOR(F.shiftleft(x.cast("long"), 29))
+        .bitwiseOR(y.cast("long"))
+    )
+
+
+# --- G4: broadcast-R-tree point-in-polygon join ------------------------------------
+
+
+def build_polygon_index(polygons_pdf: pd.DataFrame) -> _pip.PolygonIndex:
+    """polygons (FIXTURES.md §2 pandas form) -> broadcastable PolygonIndex."""
+    rings = [
+        (
+            np.array([p["x"] for p in ring], dtype=np.float64),
+            np.array([p["y"] for p in ring], dtype=np.float64),
+        )
+        for ring in polygons_pdf["ring"]
+    ]
+    return _pip.PolygonIndex(polygons_pdf["polygon_id"].tolist(), rings)
+
+
+def pip_join(
+    spark: SparkSession,
+    points: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    how: str = "inner",
+) -> DataFrame:
+    """G4: annotate each point row with its matching polygon_id.
+
+    Exact PIP via mapInPandas over the broadcast PolygonIndex (R-tree
+    candidate gen + vectorized ray cast, all numpy). `how='inner'` keeps
+    matches only; `how='left'` keeps unmatched points with null polygon_id.
+    One input row can yield multiple output rows (overlapping polygons) —
+    hence mapInPandas, not a scalar UDF.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    idx = build_polygon_index(polygons_pdf)
+    b = spark.sparkContext.broadcast(idx)
+    # never .add() onto points.schema — it mutates the cached StructType
+    out_schema = StructType(
+        list(points.schema.fields) + [StructField("polygon_id", StringType(), True)]
+    )
+    cols = [f.name for f in points.schema.fields]
+    keep_unmatched = how == "left"
+
+    def _match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        index = b.value  # deserialized once per worker process
+        for pdf in batches:
+            lon = pdf[lon_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            lat = pdf[lat_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            pts_i, polys_i = index.match_points(lon, lat)
+            matched = pdf.iloc[pts_i][cols].copy()
+            matched["polygon_id"] = np.array(index.polygon_ids, dtype=object)[polys_i]
+            if keep_unmatched:
+                unmatched_mask = np.ones(len(pdf), dtype=bool)
+                unmatched_mask[np.unique(pts_i)] = False
+                rest = pdf.iloc[np.nonzero(unmatched_mask)[0]][cols].copy()
+                rest["polygon_id"] = None
+                matched = pd.concat([matched, rest], ignore_index=True)
+            yield matched
+
+    return points.mapInPandas(_match, out_schema)
+
+
+# --- G5: kNN via cell-prefix range join ----------------------------------------------
+
+
+def knn_join(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    query_id: str,
+    cand_id: str,
+    level: int = _cells.DEFAULT_LEVEL,
+    prefix_level: int = 4,
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """G5: k nearest candidates per query point.
+
+    Plan shape (SURVEY §2.5 J3): equi-join on the shared cell prefix at
+    `prefix_level` (coarse neighborhoods) -> exact haversine (native) ->
+    Window row_number <= k. Candidate sets that underfill a neighborhood
+    are the caller's concern (choose prefix_level so E[candidates/cell]
+    >> k, or union a ring expansion).
+
+    Both sides must carry `cell_id` at `level` plus lat/lon columns named
+    (q_lat, q_lon) / (c_lat, c_lon).
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.withColumn(
+        "_pfx", cell_parent_col(F.col("cell_id"), level, prefix_level)
+    )
+    c = candidates.withColumn(
+        "_pfx", cell_parent_col(F.col("cell_id"), level, prefix_level)
+    )
+    if broadcast_candidates:
+        c = F.broadcast(c.drop("cell_id"))
+    joined = q.drop("cell_id").join(c, "_pfx").withColumn(
+        "dist_km",
+        haversine_km_col(F.col("q_lat"), F.col("q_lon"), F.col("c_lat"), F.col("c_lon")),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("dist_km").asc(), F.col(cand_id).asc())
+    return (
+        joined.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .drop("_pfx")
+    )

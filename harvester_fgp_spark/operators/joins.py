@@ -1,0 +1,54 @@
+"""Join planners J1-J7 (SURVEY.md §2.5) — DataFrame-level rewrites only.
+
+Catalyst picks BHJ/SMJ on its own; what this module adds is the two
+rewrites Catalyst cannot do (SURVEY §4): explicit key salting for
+hot-key skew (dense urban cells, popular domains — BASELINE.json:6), and
+the cell-prefix equi-join used by the spatial paths (operators.geo).
+AQE's skew-join split handles skewed *partitions*; salting handles a
+single skewed *key*, which AQE cannot split across tasks for a hash join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """J7: equi-join with the hot-key fix.
+
+    Probe (large, skewed) side gets a random salt in [0, salt); build side
+    is exploded `salt` times so every (key, salt) pair exists. Result set
+    is provably identical to the unsalted join (property-tested in
+    tests/test_joins_spark.py).
+
+    Scale note: explodes the small side by `salt`x — keep the build side
+    small or broadcast; pick `salt` from a sampled key histogram rather
+    than folklore constants.
+    """
+    salted_large = large.withColumn(
+        "_salt", (F.rand(seed) * salt).cast("int")
+    )
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.array([F.lit(i) for i in range(salt)]))
+    )
+    return salted_large.join(salted_small, [on, "_salt"], how).drop("_salt")
+
+
+def dedup_latest(df: DataFrame, key: str = "url", ts: str = "warc_ts") -> DataFrame:
+    """W2 use-case: keep the latest crawl per url (lag/window dedup)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

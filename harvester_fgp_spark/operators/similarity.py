@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline
+  (native zip_with/aggregate dot products; no UDF, no collect).
+- ``ann_lsh_topk``: the scale path — random-hyperplane LSH signatures
+  bucket the vectors, candidates come from an equi-join on (table, bucket)
+  so the cross product never materializes; exact cosine re-ranks within
+  buckets. Multi-table (independent hash tables) trades compute for
+  recall, the standard LSH knob.
+
+At 10^12 scale brute force is O(Q x N) — the LSH variant's equi-join is
+what survives; its recall is measured against brute force in
+tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.window import Window
+
+N_TABLES = 6
+N_PLANES = 10  # bits per table -> 1024 buckets/table
+_DIM_DEFAULT = 64
+
+_rng = np.random.default_rng(77)
+_PLANES = _rng.standard_normal((N_TABLES, N_PLANES, _DIM_DEFAULT))
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_sim_col(a: str | Column, b: str | Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_emb: str = "q_emb",
+    c_emb: str = "c_emb",
+) -> DataFrame:
+    """Exact brute-force top-k (baseline; O(Q x N) cross join)."""
+    j = (
+        queries.crossJoin(candidates)
+        .filter(F.col(q_id) != F.col(c_id))
+        .withColumn("cos_sim", F.round(cosine_sim_col(q_emb, c_emb), 6))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "rank", "cos_sim")
+    )
+
+
+def lsh_buckets_udf(dim: int):
+    planes = _PLANES if dim == _DIM_DEFAULT else np.random.default_rng(77).standard_normal(
+        (N_TABLES, N_PLANES, dim)
+    )
+
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())  # (batch, dim)
+        out = []
+        signs = np.einsum("bd,tpd->btp", mat, planes) > 0  # (batch, T, P)
+        weights = 1 << np.arange(N_PLANES, dtype=np.int64)
+        codes = (signs * weights[None, None, :]).sum(axis=2)  # (batch, T)
+        for row in codes:
+            out.append([int(t) << 32 | int(c) for t, c in enumerate(row)])
+        return pd.Series(out)
+
+    return _buckets
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = _DIM_DEFAULT,
+) -> DataFrame:
+    """Approximate top-k: bucket equi-join (N_TABLES tables) + exact rerank."""
+    bud = lsh_buckets_udf(dim)
+    cand = vectors.select(
+        F.col(id_col).alias("c_id"),
+        F.col(emb_col).alias("c_emb"),
+        F.explode(bud(F.col(emb_col))).alias("bucket"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.explode(bud(F.col(emb_col))).alias("bucket"),
+    )
+    pairs = (
+        qs.join(cand, "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_emb", "c_id", "c_emb")
+        .distinct()
+    )
+    ranked = pairs.withColumn(
+        "cos_sim", F.round(cosine_sim_col("q_emb", "c_emb"), 6)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", "cos_sim")
+    )

@@ -1,0 +1,106 @@
+"""Checkpoint / lineage / resume (SURVEY.md §2.1 S4-S6, BASELINE.json:14).
+
+Contract: "every partition emits lineage + row-count metrics to a
+checkpoint table so a killed job resumes without recomputing completed
+tiles."
+
+Design (tile-grain idempotence, SURVEY §7.4-5):
+- The unit of work is a packed tile id. Output is written
+  `partitionBy(tile_id)`, and a tile's directory is only ever written by
+  jobs that then append a completion row to the checkpoint table — the
+  commit marker. Rerunning a tile overwrites its partition directory
+  (dynamic partition overwrite), so replays are idempotent.
+- Resume = anti-join pending tiles against completed tile ids (S6) —
+  a tiny broadcast anti-join, no recomputation of done work.
+- Lineage rows carry (run_id, stage, partition_id, tile_id, row_count,
+  input_fingerprint): the fingerprint is a xor/sum-based order-insensitive
+  digest of record ids, so a resumed run can verify it reproduced the
+  same input slice without sorting anything.
+
+Locally this uses plain Parquet; on a real cluster the same calls target
+an Iceberg table where the append IS the atomic commit — the swap is a
+config, not a code path (SURVEY §4 conclusion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.geo import packed_tile_col
+
+CHECKPOINT_COLS = (
+    "run_id",
+    "stage",
+    "partition_id",
+    "tile_id",
+    "row_count",
+    "input_fingerprint",
+    "completed_at",
+)
+
+
+def with_tile_id(records: DataFrame) -> DataFrame:
+    return records.withColumn(
+        "tile_id",
+        packed_tile_col(F.col("tile_z"), F.col("tile_x"), F.col("tile_y")),
+    )
+
+
+def lineage_rows(records: DataFrame, run_id: str, stage: str) -> DataFrame:
+    """Per-(partition, tile) lineage metrics — all native aggregation.
+
+    spark_partition_id is evaluated before the groupBy shuffle, so the
+    row records which input partition produced the tile's rows; the
+    fingerprint is bit-xor of record-id hashes (order-insensitive).
+    """
+    return (
+        records.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id", "tile_id")
+        .agg(
+            F.count("*").alias("row_count"),
+            F.format_string(
+                "%016x", F.bit_xor(F.xxhash64(F.col("record_id")))
+            ).alias("input_fingerprint"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("stage", F.lit(stage))
+        .withColumn("completed_at", F.current_timestamp())
+        .select(*CHECKPOINT_COLS)
+    )
+
+
+def write_records_and_checkpoint(
+    records: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    run_id: str,
+    stage: str = "records",
+) -> None:
+    """S4 + S5: partition-by-tile output, then the commit-marker append.
+
+    Write order is the crash-safety argument: data first, marker second;
+    a crash between the two leaves an uncommitted tile that the resume
+    filter will redo (overwrite — idempotent).
+    """
+    spark = records.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    tiled = with_tile_id(records)
+    tiled.write.mode("overwrite").partitionBy("tile_id").parquet(out_dir)
+    lineage_rows(tiled, run_id, stage).write.mode("append").parquet(checkpoint_dir)
+
+
+def completed_tiles(spark: SparkSession, checkpoint_dir: str, stage: str = "records") -> DataFrame:
+    try:
+        cp = spark.read.parquet(checkpoint_dir)
+    except Exception:
+        return spark.createDataFrame([], "tile_id long")
+    return cp.filter(F.col("stage") == stage).select("tile_id").distinct()
+
+
+def resume_filter(
+    pending: DataFrame, spark: SparkSession, checkpoint_dir: str, stage: str = "records"
+) -> DataFrame:
+    """S6: drop tiles already committed (broadcast left-anti join)."""
+    done = completed_tiles(spark, checkpoint_dir, stage)
+    return pending.join(F.broadcast(done), "tile_id", "left_anti")

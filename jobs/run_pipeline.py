@@ -1,0 +1,70 @@
+"""Production job (EP1): spark-submit --py-files engine.zip jobs/run_pipeline.py
+
+  spark-submit --py-files engine.zip jobs/run_pipeline.py \
+      --pages <iceberg table | parquet path> \
+      --polygons <parquet path | synth:N> \
+      --out /data/records --checkpoint /data/checkpoint \
+      --run-id run-2026-08-16 [--resume] [--cell-level 12] [--tile-z 8]
+
+Resumable: with --resume, tiles already committed to the checkpoint table
+are anti-joined away before any recomputation (BASELINE.json:14).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+# spark-submit ships the engine via --py-files engine.zip; for bare local
+# runs (python jobs/run_pipeline.py) fall back to the repo checkout.
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo not in sys.path:
+    sys.path.insert(0, _repo)
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pages", required=True)
+    p.add_argument("--polygons", default="synth:200")
+    p.add_argument("--out", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--run-id", required=True)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--cell-level", type=int, default=12)
+    p.add_argument("--tile-z", type=int, default=8)
+    p.add_argument("--snapshot-id", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv: list[str]) -> None:
+    args = parse_args(argv)
+
+    from harvester_fgp_spark.plans.pipeline import mine_records
+    from harvester_fgp_spark.session import build_session
+    from harvester_fgp_spark.sinks import checkpoint as C
+    from harvester_fgp_spark.sources.tables import read_pages
+    from harvester_fgp_spark.synth import generate_polygons
+
+    spark = build_session(app_name=f"hfs-pipeline-{args.run_id}")
+    pages = read_pages(spark, args.pages, snapshot_id=args.snapshot_id)
+    if args.polygons.startswith("synth:"):
+        ppdf = generate_polygons(int(args.polygons.split(":", 1)[1]), seed=42)
+    else:
+        ppdf = spark.read.parquet(args.polygons).toPandas()  # noqa: small dim table
+
+    records = C.with_tile_id(
+        mine_records(
+            spark, pages, ppdf, cell_level=args.cell_level, tile_z=args.tile_z
+        )
+    )
+    if args.resume:
+        records = C.resume_filter(records, spark, args.checkpoint)
+    C.write_records_and_checkpoint(
+        records, args.out, args.checkpoint, run_id=args.run_id
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

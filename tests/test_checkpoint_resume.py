@@ -1,0 +1,75 @@
+"""Resume semantics (SURVEY.md §5.2-5, BASELINE.json:14).
+
+Kill-after-K-tiles simulation: complete a subset of tiles, then assert the
+resume filter reruns only the remainder and the combined output equals an
+uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from harvester_fgp_spark.sinks import checkpoint as C
+from harvester_fgp_spark.plans.pipeline import mine_records
+from harvester_fgp_spark.synth import generate_polygons, pages_df
+
+
+def _records(spark):
+    pages = pages_df(spark, 800, seed=42)
+    ppdf = generate_polygons(60, seed=42)
+    return C.with_tile_id(mine_records(spark, pages, ppdf))
+
+
+def test_resume_skips_completed_tiles(spark, tmp_path):
+    out = str(tmp_path / "records")
+    cp = str(tmp_path / "checkpoint")
+
+    records = _records(spark)
+    tiles = [r.tile_id for r in records.select("tile_id").distinct().collect()]
+    assert len(tiles) >= 4
+    half = set(tiles[: len(tiles) // 2])
+
+    # run 1 "crashes" after writing half the tiles
+    run1 = records.filter(F.col("tile_id").isin(half))
+    C.write_records_and_checkpoint(run1, out, cp, run_id="run1")
+
+    done = {r.tile_id for r in C.completed_tiles(spark, cp).collect()}
+    assert done == half
+
+    # resume: only the other half is pending
+    pending = C.resume_filter(records, spark, cp)
+    pending_tiles = {r.tile_id for r in pending.select("tile_id").distinct().collect()}
+    assert pending_tiles == set(tiles) - half
+
+    C.write_records_and_checkpoint(pending, out, cp, run_id="run2")
+
+    # final output == uninterrupted run (same rows, all tiles)
+    final = spark.read.parquet(out)
+    assert final.count() == records.count()
+    assert final.select("record_id").exceptAll(records.select("record_id")).count() == 0
+
+    # lineage row counts reconcile with the data
+    lineage = spark.read.parquet(cp)
+    per_tile_cp = {
+        r.tile_id: r.total
+        for r in lineage.groupBy("tile_id").agg(F.sum("row_count").alias("total")).collect()
+    }
+    per_tile_data = {
+        r.tile_id: r.cnt
+        for r in final.groupBy("tile_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert per_tile_cp == per_tile_data
+
+
+def test_rerun_tile_is_idempotent(spark, tmp_path):
+    out = str(tmp_path / "records")
+    cp = str(tmp_path / "checkpoint")
+    records = _records(spark)
+    one_tile = records.select("tile_id").first().tile_id
+    slice1 = records.filter(F.col("tile_id") == one_tile)
+    C.write_records_and_checkpoint(slice1, out, cp, run_id="a")
+    C.write_records_and_checkpoint(slice1, out, cp, run_id="b")  # replay
+    final = spark.read.parquet(out)
+    # dynamic partition overwrite: replay does not duplicate rows
+    assert final.count() == slice1.count()

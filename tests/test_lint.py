@@ -1,0 +1,42 @@
+"""No-per-row-Python lint (SURVEY.md §5.2-6, BASELINE.json:15).
+
+Engine modules must not use row-at-a-time ``udf(``, RDD APIs, or
+driver-side ``collect()`` loops. Tests and tools are exempt.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+ENGINE = Path(__file__).resolve().parent.parent / "harvester_fgp_spark"
+
+BANNED = (
+    (re.compile(r"(?<![\w.])udf\("), "row-at-a-time udf()"),
+    (re.compile(r"\.rdd\b"), ".rdd access"),
+    (re.compile(r"\.collect\(\)"), "driver-side collect()"),
+    (re.compile(r"\.toPandas\(\)"), "driver-side toPandas()"),
+    (re.compile(r"\bmapPartitions\b"), "raw mapPartitions"),
+)
+
+
+def test_no_per_row_python_in_engine():
+    offenders = []
+    for path in ENGINE.rglob("*.py"):
+        src = path.read_text()
+        for pat, label in BANNED:
+            for m in pat.finditer(src):
+                line = src[: m.start()].count("\n") + 1
+                # pandas_udf( contains "udf(" — exempt via lookbehind above;
+                # double-check the match isn't inside a comment/docstring
+                text_line = src.splitlines()[line - 1].strip()
+                if text_line.startswith("#"):
+                    continue
+                offenders.append(f"{path.name}:{line} {label}: {text_line}")
+    assert not offenders, "\n".join(offenders)
+
+
+def test_entry_module_has_no_collect():
+    src = (ENGINE.parent / "__spark_entry__.py").read_text()
+    assert ".collect()" not in src
+    assert ".rdd" not in src
