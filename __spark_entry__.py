@@ -389,9 +389,165 @@ def _q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: controlled-vocabulary mapping as a native map literal lookup."""
+    from harvester_fgp_spark.operators.extract import vocab_map_col
+
+    mapping = {"0": "P1D", "1": "P1W", "2": "P1M", "3": "P1Y"}
+    nation = _read(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        vocab_map_col(mapping, (F.col("n_nationkey") % 4).cast("string")).alias(
+            "frequency"
+        ),
+    )
+
+
+def _q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.col("user_id") % 10
+    )
+    return ev.cube("event_type", "user_bucket").agg(
+        F.count("*").alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+def _q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = _dec("value") - F.lag(_dec("value")).over(w)
+    return (
+        ev.withColumn("delta", delta)
+        .groupBy("user_id")
+        .agg(
+            F.count("delta").alias("n_deltas"),
+            F.sum(F.abs(F.col("delta"))).cast("double").alias("sum_abs_delta"),
+        )
+    )
+
+
+def _q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    p_orders = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return cust.intersect(p_orders)
+
+
+def _q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: deterministic list outputs via array_sort(collect_set)."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return ev.groupBy("event_type").agg(
+        F.slice(F.array_sort(F.collect_set("user_id")), 1, 10).alias("first_users")
+    )
+
+
+def _q_date_trunc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("month", F.date_trunc("month", F.col("o_orderdate")))
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+def _q_sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force, native expressions)."""
+    from harvester_fgp_spark.operators.similarity import cosine_sim_col
+
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, a["ia"] < b["ib"])
+        .withColumn("cos_sim", F.round(cosine_sim_col("ea", "eb"), 6))
+        .filter(F.col("cos_sim") >= 0.42)
+        .select("ia", "ib", "cos_sim")
+    )
+
+
+def _q_salted_join_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 exposed: salted hot-key join; result provably equals plain join."""
+    from harvester_fgp_spark.operators.joins import salted_join
+
+    ev = _read(spark, sf_dir, "events")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("cohort", F.col("user_id") % 7)
+    )
+    return (
+        salted_join(ev, dim, "user_id", salt=8)
+        .groupBy("cohort")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: blob -> typed metadata via mapInPandas; the
+    deterministic decode fake makes even the Python boundary oracle-checkable."""
+    from harvester_fgp_spark.operators.multimodal import extract_media_meta
+
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+    )
+    meta = extract_media_meta(media)
+    return meta.select(
+        "media_id",
+        "n_bytes",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "sha",
+    )
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible ops (rows-only driver check)
 # ---------------------------------------------------------------------------
+
+
+def _q_polygon_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 raster<->vector: rasterize collection polygons to z8 tile sets."""
+    from harvester_fgp_spark.operators.geo import polygon_tiles
+
+    from harvester_fgp_spark.synth import polygons_df
+
+    return polygon_tiles(polygons_df(spark, 120, seed=42), z=8)
+
+
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 scale path: HLL approx distinct (impl-specific -> rows-only)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from harvester_fgp_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 10000)
+    return ngram_jaccard_pairs(docs.unionByName(dup), threshold=0.9)
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,10 +623,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": _q_text_tokens,
         "multimodal_binary": _q_multimodal_binary,
         "sim_cosine_topk": _q_sim_cosine_topk,
+        "vocab_map": _q_vocab_map,
+        "cube_events": _q_cube_events,
+        "window_lag_delta": _q_window_lag_delta,
+        "set_intersect_custkeys": _q_set_intersect,
+        "array_agg_sorted": _q_array_agg_sorted,
+        "date_trunc_monthly": _q_date_trunc_monthly,
+        "sim_near_dup": _q_sim_near_dup,
+        "salted_join_users": _q_salted_join_users,
+        "media_meta": _q_media_meta,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram": _q_dedup_ngram,
         "text_analysis": _q_text_analysis,
         "ann_lsh": _q_ann_lsh,
+        "approx_distinct_users": _q_approx_distinct,
+        "polygon_tiles": _q_polygon_tiles,
         "pipeline_flagship": _q_pipeline_flagship,
     }
 
@@ -708,7 +876,83 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rank FROM sims
             ) WHERE rank <= 5
         """,
-        # dedup_minhash / dedup_simhash / text_analysis / ann_lsh /
+        "vocab_map": """
+            SELECT n_nationkey,
+                   CASE CAST(n_nationkey % 4 AS VARCHAR)
+                        WHEN '0' THEN 'P1D' WHEN '1' THEN 'P1W'
+                        WHEN '2' THEN 'P1M' WHEN '3' THEN 'P1Y' END AS frequency
+            FROM nation
+        """,
+        "cube_events": """
+            SELECT event_type, user_id % 10 AS user_bucket,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY CUBE (event_type, user_id % 10)
+        """,
+        "window_lag_delta": """
+            WITH d AS (
+                SELECT user_id,
+                       CAST(value AS DECIMAL(18,2)) - LAG(CAST(value AS DECIMAL(18,2))) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS delta
+                FROM events
+            )
+            SELECT user_id, COUNT(delta) AS n_deltas,
+                   CAST(SUM(ABS(delta)) AS DOUBLE) AS sum_abs_delta
+            FROM d GROUP BY user_id
+        """,
+        "set_intersect_custkeys": """
+            SELECT c_custkey AS custkey FROM customer
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+        """,
+        "array_agg_sorted": """
+            SELECT event_type,
+                   list_sort(list(DISTINCT user_id))[1:10] AS first_users
+            FROM events WHERE user_id < 40 GROUP BY event_type
+        """,
+        "date_trunc_monthly": """
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders GROUP BY 1
+        """,
+        "sim_near_dup": """
+            SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   ROUND(
+                       list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                       / (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                          * SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                       6
+                   ) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ROUND(
+                       list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                       / (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                          * SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                       6
+                   ) >= 0.42
+        """,
+        "salted_join_users": """
+            WITH dim AS (
+                SELECT DISTINCT user_id, user_id % 7 AS cohort FROM events
+            )
+            SELECT cohort, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events JOIN dim USING (user_id)
+            GROUP BY cohort
+        """,
+        "media_meta": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(octet_length(encode(text)) % 1920 + 1 AS BIGINT) AS width,
+                   CAST(octet_length(encode(text)) % 1080 + 1 AS BIGINT) AS height,
+                   sha256(text) AS sha
+            FROM documents
+        """,
+        # dedup_minhash / dedup_simhash / dedup_ngram / text_analysis /
+        # ann_lsh / approx_distinct_users / polygon_tiles /
         # pipeline_flagship: non-SQL-expressible (hash kernels, pandas-UDF
-        # mining) -> rows-only driver check by design.
+        # mining, HLL sketch internals) -> rows-only driver check by design.
     }

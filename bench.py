@@ -68,13 +68,24 @@ def main() -> None:
     )
     t_all = time.monotonic()
 
-    # headline: spatial-join + tile-assignment throughput (pages/sec)
+    # headline: spatial-join + tile-assignment throughput (pages/sec).
+    # One untimed warmup first: Spark grows the Python-worker pool lazily,
+    # so the first execution measures a fork/import storm (~1s x workers),
+    # not throughput — steady state is what a long-running cluster job
+    # sees. Then report the mean of two timed runs.
     pages_path = _pages_parquet(spark, N_PAGES)
     pages = spark.read.parquet(pages_path)
     ppdf = generate_polygons(200, seed=42)
+    job = tile_summary(mine_records(spark, pages, ppdf))
     t0 = time.monotonic()
-    n_out = tile_summary(mine_records(spark, pages, ppdf)).count()
-    pipeline_sec = time.monotonic() - t0
+    n_out = job.count()  # warmup (also sanity row count)
+    warmup_sec = time.monotonic() - t0
+    runs = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        job.write.format("noop").mode("overwrite").save()
+        runs.append(time.monotonic() - t0)
+    pipeline_sec = sum(runs) / len(runs)
     pages_per_sec = N_PAGES / pipeline_sec
 
     # operator queries at the driver sf dir
@@ -97,6 +108,7 @@ def main() -> None:
                 "n_pages": N_PAGES,
                 "cpus": CPUS,
                 "pipeline_rows_out": n_out,
+                "warmup_sec": round(warmup_sec, 3),
                 "total_sec": round(total, 3),
             }
         )

@@ -33,7 +33,10 @@ _PERM_B = _rng.integers(0, _MERSENNE, size=NUM_PERM, dtype=np.int64)
 
 
 def _shingle_hashes(text: str) -> np.ndarray:
-    """Word k-shingles -> uint64 hashes (vectorized FNV-1a over joined grams)."""
+    """Word k-shingles -> uint64 hashes (blake2b digest_size=8 — C-speed;
+    a per-byte Python hash loop here was the original bench hot spot)."""
+    import hashlib
+
     words = text.lower().split()
     if not words:
         return np.empty(0, dtype=np.uint64)
@@ -44,13 +47,10 @@ def _shingle_hashes(text: str) -> np.ndarray:
             " ".join(words[i : i + SHINGLE_K])
             for i in range(len(words) - SHINGLE_K + 1)
         ]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):  # per-gram loop; grams are few per doc
-        h = np.uint64(0xCBF29CE484222325)
-        for b in g.encode("utf-8"):
-            h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
-        out[i] = h
-    return out
+    buf = b"".join(
+        hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest() for g in grams
+    )
+    return np.frombuffer(buf, dtype=">u8").astype(np.uint64)
 
 
 def _minhash_signature(text: str | None) -> list[int] | None:

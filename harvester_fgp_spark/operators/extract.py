@@ -41,15 +41,23 @@ def mine_payloads_udf(text: pd.Series) -> pd.Series:
 
 
 def with_payloads(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """P5 prefilter -> E2 mine -> explode to one row per payload.
+    """P5 prefilter -> E2 mine -> posexplode to one row per payload.
 
     The rlike prefilter is NATIVE and sits before the UDF so predicate
     pushdown / column pruning still reach the scan (SURVEY §4: predicates
-    cannot push through ArrowEvalPython).
+    cannot push through ArrowEvalPython). posexplode (not explode) emits
+    the payload ordinal for free — the E7 record id needs it, and reading
+    it off the array position avoids a row_number window (= one whole
+    shuffle) downstream.
     """
     return (
         df.filter(F.col(text_col).rlike(r"-?\d+\.\d+\s*,\s*-?\d+\.\d+|west:"))
-        .withColumn("payload", F.explode(mine_payloads_udf(F.col(text_col))))
+        .select(
+            "*",
+            F.posexplode(mine_payloads_udf(F.col(text_col))).alias(
+                "payload_idx", "payload"
+            ),
+        )
         .select("*", "payload.*")
         .drop("payload")
     )

@@ -243,6 +243,41 @@ def pip_join(
     return points.mapInPandas(_match, out_schema)
 
 
+# --- G7 raster<->vector: polygon -> tile rasterization --------------------------------
+
+
+def polygon_tiles(polygons: DataFrame, z: int = _tiles.DEFAULT_TILE_Z) -> DataFrame:
+    """Rasterize each polygon ring to the set of z-level tiles it covers.
+
+    mapInPandas over the ring arrays (scanline kernel in geo.tiles); tile
+    ids come back packed and are unpacked with native shifts. Output:
+    (polygon_id, tile_z, tile_x, tile_y), one row per covered tile.
+    """
+
+    def _rast(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pids: list[str] = []
+            tids: list[int] = []
+            for pid, ring in zip(pdf["polygon_id"], pdf["ring"]):
+                rx = np.array([p["x"] for p in ring], dtype=np.float64)
+                ry = np.array([p["y"] for p in ring], dtype=np.float64)
+                t = _tiles.rasterize_ring_to_tiles(rx, ry, z)
+                pids.extend([pid] * len(t))
+                tids.extend(t.tolist())
+            yield pd.DataFrame({"polygon_id": pids, "tile_id": tids})
+
+    raw = polygons.select("polygon_id", "ring").mapInPandas(
+        _rast, "polygon_id string, tile_id long"
+    )
+    mask = F.lit((1 << 29) - 1)
+    return raw.select(
+        "polygon_id",
+        F.shiftrightunsigned(F.col("tile_id"), 58).cast("int").alias("tile_z"),
+        F.shiftrightunsigned(F.col("tile_id"), 29).bitwiseAND(mask).cast("int").alias("tile_x"),
+        F.col("tile_id").bitwiseAND(mask).cast("int").alias("tile_y"),
+    )
+
+
 # --- G5: kNN via cell-prefix range join ----------------------------------------------
 
 

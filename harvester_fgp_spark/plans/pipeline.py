@@ -45,9 +45,18 @@ def mine_records(
         text_col = "extracted_text"
     else:
         # Use materialized text when present; extract only where missing.
+        # The when() nulls the UDF INPUT for rows that already have text:
+        # ArrowEvalPython evaluates UDFs unconditionally (coalesce cannot
+        # short-circuit through it), so this is what keeps the html bytes
+        # of already-extracted pages off the Arrow boundary entirely.
         df = df.withColumn(
             "extracted_text",
-            F.coalesce(F.col("text"), E.extract_text_udf("html")),
+            F.coalesce(
+                F.col("text"),
+                E.extract_text_udf(
+                    F.when(F.col("text").isNull(), F.col("html"))
+                ),
+            ),
         )
         text_col = "extracted_text"
 
@@ -78,11 +87,8 @@ def mine_records(
         .withColumn("tile_y", ty)
     )
 
-    # payload ordinal per url for the stable record id (E7)
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("url").orderBy("kind", "lat", "lon", "west", "south")
-    df = df.withColumn("payload_idx", F.row_number().over(w) - 1)
+    # payload ordinal comes from posexplode (array position) — stable,
+    # deterministic, and no window shuffle (E7)
     df = df.withColumn("record_id", E.record_id_col(F.col("url"), F.col("payload_idx")))
 
     df = df.withColumn(
@@ -95,6 +101,15 @@ def mine_records(
         ),
     )
 
+    # Narrow the row BEFORE the PIP Arrow boundary: html (binary!) and the
+    # raw text/lang columns must not ride through the Python stage — at
+    # 10^12 pages that transfer, not the ray cast, would be the bottleneck.
+    df = df.select(
+        "record_id", "url", "warc_ts", "notes_en", "notes_fr", "spatial",
+        "kind", "lat", "lon", "west", "south", "east", "north",
+        "cell_id", "tile_z", "tile_x", "tile_y", "extracted_text",
+        "pt_lat", "pt_lon",
+    )
     records = G.pip_join(
         spark,
         df,

@@ -1,0 +1,80 @@
+"""Plan-shape assertions (SURVEY.md §7.4-6).
+
+True 10^12 scale is unreachable in the sandbox, so the scale features are
+asserted on the PLAN: filters reach the parquet scan, small dims broadcast,
+native geo queries contain no Python boundary, UDF stages are Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    q = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan
+    # column pruning: scan reads only the two needed columns
+    assert "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>" in plan
+
+
+def test_native_geo_query_has_no_python_boundary(spark, sf_dir):
+    """G1/G3/G7 stay in whole-stage codegen — zero ArrowEvalPython."""
+    for name in ("geo_cell_encode", "geo_tile_assign", "geo_box_join"):
+        df = E.queries()[name](spark, sf_dir)
+        df.collect()  # execute THIS plan so AQE finalizes it in place
+        plan = _plan(df)
+        assert "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        # '*(n)' prefixes mark whole-stage-codegen spans in plan toString
+        assert "*(1)" in plan, f"{name}: {plan[:500]}"
+
+
+def test_box_cover_join_is_broadcast(spark, sf_dir):
+    plan = _plan(E.queries()["geo_box_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_udf_stages_are_arrow_batched(spark, sf_dir):
+    """Python stages must be ArrowEvalPython (pandas), never row-pickled
+    BatchEvalPython."""
+    plan = _plan(E.queries()["text_analysis"](spark, sf_dir))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pipeline_prunes_html_after_extraction(spark):
+    """The PIP Arrow stage must not carry the html/text payload columns."""
+    from harvester_fgp_spark.plans.pipeline import mine_records
+    from harvester_fgp_spark.synth import generate_polygons, pages_df
+
+    records = mine_records(spark, pages_df(spark, 200, seed=42),
+                           generate_polygons(20, seed=42))
+    plan = _plan(records)
+    # MapInPandas (the PIP join) input must exclude html
+    import re
+
+    m = re.search(r"MapInPandas _match\(([^)]*)\)", plan)
+    assert m, plan[:2000]
+    assert "html" not in m.group(1)
+    assert "cell_id" in m.group(1)
+
+
+def test_aqe_and_arrow_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert (
+        spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    )

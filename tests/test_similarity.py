@@ -1,0 +1,44 @@
+"""ANN-LSH recall vs brute force + multimodal plumbing checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from harvester_fgp_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk(
+        qs.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")),
+        emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")),
+        k=5,
+    )
+    approx = ann_lsh_topk(emb, qs, k=5)
+    exact_pairs = {(r.q_id, r.c_id) for r in exact.collect()}
+    approx_pairs = {(r.q_id, r.c_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # random gaussian vectors are the worst case for LSH; demand a floor
+    # that proves the bucketing works at all, not production recall
+    assert recall >= 0.25, f"LSH recall {recall:.2f} too low"
+    # every approx hit must be a real vector pair ranked by true cosine
+    assert all(q != c for q, c in approx_pairs)
+
+
+def test_media_meta_plumbing(spark, sf_dir):
+    from harvester_fgp_spark.operators.multimodal import extract_media_meta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+    )
+    meta = extract_media_meta(media)
+    rows = meta.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.n_bytes is not None and r.sha is not None
+        assert 1 <= r.width <= 1920 and 1 <= r.height <= 1080

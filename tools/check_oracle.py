@@ -30,10 +30,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith(("int", "uint", "Int")):
             df[c] = df[c].astype("int64")
         elif str(df[c].dtype) == "object":
-            # decimals / bytes -> canonical
-            df[c] = df[c].map(
-                lambda v: float(v) if hasattr(v, "as_tuple") else v
-            )
+            # decimals -> float, arrays/lists -> tuples (sortable/hashable)
+            def _canon(v):
+                if hasattr(v, "as_tuple"):
+                    return float(v)
+                if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+                    return tuple(
+                        int(e) if isinstance(e, (int,)) or hasattr(e, "item") else e
+                        for e in (v.tolist() if hasattr(v, "tolist") else v)
+                    )
+                return v
+
+            df[c] = df[c].map(_canon)
     sort_cols = list(df.columns)
     return df.sort_values(sort_cols, ignore_index=True)
 
