@@ -290,35 +290,58 @@ def knn_join(
     level: int = _cells.DEFAULT_LEVEL,
     prefix_level: int = 4,
     broadcast_candidates: bool = True,
+    expand_underfilled: bool = True,
 ) -> DataFrame:
     """G5: k nearest candidates per query point.
 
     Plan shape (SURVEY §2.5 J3): equi-join on the shared cell prefix at
     `prefix_level` (coarse neighborhoods) -> exact haversine (native) ->
-    Window row_number <= k. Candidate sets that underfill a neighborhood
-    are the caller's concern (choose prefix_level so E[candidates/cell]
-    >> k, or union a ring expansion).
+    Window row_number <= k. With `expand_underfilled`, queries whose
+    neighborhood yields < k candidates get a second, coarser pass
+    (prefix_level - 2 == a 4x4 cell ring) and the union is re-ranked —
+    the "ring-expansion fallback" of SURVEY §2.4 G5. Neighbors straddling
+    a prefix boundary can still be missed (cell-join kNN is approximate
+    by construction); exactness is the oracle crossJoin's job.
 
     Both sides must carry `cell_id` at `level` plus lat/lon columns named
     (q_lat, q_lon) / (c_lat, c_lon).
     """
     from pyspark.sql.window import Window
 
-    q = queries.withColumn(
-        "_pfx", cell_parent_col(F.col("cell_id"), level, prefix_level)
-    )
-    c = candidates.withColumn(
-        "_pfx", cell_parent_col(F.col("cell_id"), level, prefix_level)
-    )
-    if broadcast_candidates:
-        c = F.broadcast(c.drop("cell_id"))
-    joined = q.drop("cell_id").join(c, "_pfx").withColumn(
+    def _pass(pfx_level: int, qs: DataFrame) -> DataFrame:
+        q = qs.withColumn(
+            "_pfx", cell_parent_col(F.col("cell_id"), level, pfx_level)
+        )
+        c = candidates.withColumn(
+            "_pfx", cell_parent_col(F.col("cell_id"), level, pfx_level)
+        ).drop("cell_id")
+        if broadcast_candidates:
+            c = F.broadcast(c)
+        return q.drop("cell_id").join(c, "_pfx").drop("_pfx")
+
+    pairs = _pass(prefix_level, queries)
+    if expand_underfilled and prefix_level >= 2:
+        filled = (
+            pairs.groupBy(query_id)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") >= k)
+            .select(query_id)
+        )
+        underfilled = queries.join(filled, query_id, "left_anti")
+        pairs = pairs.unionByName(
+            _pass(prefix_level - 2, underfilled)
+        ).dropDuplicates([query_id, cand_id])
+
+    joined = pairs.withColumn(
         "dist_km",
-        haversine_km_col(F.col("q_lat"), F.col("q_lon"), F.col("c_lat"), F.col("c_lon")),
+        haversine_km_col(
+            F.col("q_lat"), F.col("q_lon"), F.col("c_lat"), F.col("c_lon")
+        ),
     )
-    w = Window.partitionBy(query_id).orderBy(F.col("dist_km").asc(), F.col(cand_id).asc())
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("dist_km").asc(), F.col(cand_id).asc()
+    )
     return (
         joined.withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
-        .drop("_pfx")
     )

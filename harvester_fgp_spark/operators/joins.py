@@ -42,6 +42,37 @@ def salted_join(
     return salted_large.join(salted_small, [on, "_salt"], how).drop("_salt")
 
 
+def choose_salt_factor(
+    df: DataFrame,
+    on: str,
+    sample_fraction: float = 0.01,
+    target_rows_per_task: int = 500_000,
+    max_salt: int = 64,
+    seed: int = 42,
+) -> int:
+    """Pick the salt factor from a sampled key histogram (SURVEY §2.5 J7:
+    never a folklore constant).
+
+    Estimates the hottest key's row count from a Bernoulli sample and
+    returns ceil(hot_rows / target_rows_per_task) clamped to [1, max_salt].
+    1 means "don't salt" — the common case when AQE alone suffices.
+    The sample is one cheap scan; at 10^12 rows run it on a snapshot
+    column statistic instead if the table format provides one.
+    """
+    hot = (
+        df.sample(fraction=sample_fraction, seed=seed)
+        .groupBy(on)
+        .count()
+        .agg(F.max("count").alias("m"))
+        .first()
+    )
+    if hot is None or hot.m is None:
+        return 1
+    est_hot_rows = hot.m / sample_fraction
+    salt = int(est_hot_rows // target_rows_per_task) + 1
+    return max(1, min(salt, max_salt))
+
+
 def dedup_latest(df: DataFrame, key: str = "url", ts: str = "warc_ts") -> DataFrame:
     """W2 use-case: keep the latest crawl per url (lag/window dedup)."""
     from pyspark.sql.window import Window

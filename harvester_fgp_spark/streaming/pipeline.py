@@ -1,0 +1,84 @@
+"""Structured Streaming lift of the batch stages (SURVEY.md §2.10).
+
+The reference is a batch harvester, so this is the v2 seam made real: the
+batch stages E1->G7 are stateless, so they run unchanged inside a
+streaming query; event time comes from warc_ts with a watermark, and the
+per-tile aggregation becomes a tumbling window.
+
+Two modes:
+- ``stream_tile_counts``: fully streaming DAG (watermark + windowed agg),
+  append/update via any sink.
+- ``stream_records_foreach_batch``: foreachBatch reusing the IDENTICAL
+  batch ``mine_records`` + checkpoint sink — the migration path that
+  preserves the batch engine's exactly-once-per-tile semantics.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import extract as E
+from ..operators import geo as G
+from ..schemas import PAGES_SCHEMA
+
+
+def read_pages_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def stream_tile_counts(
+    pages: DataFrame,
+    watermark: str = "1 day",
+    window: str = "1 hour",
+    tile_z: int = 8,
+) -> DataFrame:
+    """pages stream -> per-(event-time window, tile) payload counts."""
+    df = pages.withWatermark("warc_ts", watermark)
+    df = df.filter(F.col("lang").isin("en", "fr"))
+    df = E.with_payloads(df, "text")
+    df = df.withColumn(
+        "pt_lat",
+        F.when(F.col("kind") == "point", F.col("lat")).otherwise(
+            (F.col("south") + F.col("north")) / 2
+        ),
+    ).withColumn(
+        "pt_lon",
+        F.when(F.col("kind") == "point", F.col("lon")).otherwise(
+            (F.col("west") + F.col("east")) / 2
+        ),
+    )
+    tx, ty = G.tile_cols(F.col("pt_lon"), F.col("pt_lat"), tile_z)
+    df = df.withColumn("tile_x", tx).withColumn("tile_y", ty)
+    return df.groupBy(
+        F.window("warc_ts", window).alias("w"), "tile_x", "tile_y"
+    ).agg(F.count("*").alias("n_payloads"))
+
+
+def stream_records_foreach_batch(
+    spark: SparkSession,
+    pages: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    run_id: str,
+):
+    """foreachBatch: each micro-batch runs the UNCHANGED batch pipeline
+    and commits through the same tile-grain checkpoint protocol."""
+    from ..plans.pipeline import mine_records
+    from ..sinks.checkpoint import with_tile_id, write_records_and_checkpoint
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        records = mine_records(spark, batch_df, polygons_pdf)
+        write_records_and_checkpoint(
+            records, out_dir, checkpoint_dir, run_id=f"{run_id}-b{batch_id}"
+        )
+
+    return pages.writeStream.foreachBatch(_process)

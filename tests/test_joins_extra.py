@@ -1,0 +1,59 @@
+"""Salt chooser + kNN ring expansion."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from harvester_fgp_spark.operators import geo as G
+from harvester_fgp_spark.operators.joins import choose_salt_factor
+
+
+def test_choose_salt_factor_detects_hot_key(spark):
+    # one key holds 80% of rows; with a tiny target, salting kicks in
+    pdf = pd.DataFrame({"k": ["hot"] * 8000 + [f"c{i}" for i in range(2000)]})
+    df = spark.createDataFrame(pdf)
+    s = choose_salt_factor(
+        df, "k", sample_fraction=0.5, target_rows_per_task=1000
+    )
+    assert 4 <= s <= 64
+    # uniform keys -> no salting
+    pdf2 = pd.DataFrame({"k": [f"c{i % 100}" for i in range(5000)]})
+    s2 = choose_salt_factor(
+        spark.createDataFrame(pdf2), "k", sample_fraction=0.5,
+        target_rows_per_task=1000,
+    )
+    assert s2 <= 2
+
+
+def test_knn_ring_expansion_fills_sparse_neighborhoods(spark):
+    rng = np.random.default_rng(21)
+    # queries in a sparse corner, candidates clustered far away ->
+    # fine prefix yields nothing; expansion must still return k rows
+    q = pd.DataFrame(
+        {"qid": np.arange(5), "q_lat": rng.uniform(50.0, 50.2, 5),
+         "q_lon": rng.uniform(-100.2, -100.0, 5)}
+    )
+    c = pd.DataFrame(
+        {"cid": np.arange(50), "c_lat": rng.uniform(53.0, 55.0, 50),
+         "c_lon": rng.uniform(-95.0, -90.0, 50)}
+    )
+    qdf = spark.createDataFrame(q).withColumn(
+        "cell_id", G.cell_encode_col(F.col("q_lon"), F.col("q_lat"), 12)
+    )
+    cdf = spark.createDataFrame(c).withColumn(
+        "cell_id", G.cell_encode_col(F.col("c_lon"), F.col("c_lat"), 12)
+    )
+    strict = G.knn_join(
+        qdf, cdf, k=3, query_id="qid", cand_id="cid", prefix_level=6,
+        expand_underfilled=False,
+    )
+    assert strict.count() == 0  # fine neighborhoods are empty
+    expanded = G.knn_join(
+        qdf, cdf, k=3, query_id="qid", cand_id="cid", prefix_level=6,
+        expand_underfilled=True,
+    )
+    got = expanded.groupBy("qid").count().collect()
+    # prefix_level-2 = level 4 (~22 degree cells) reaches the cluster
+    assert {r["count"] for r in got} == {3} and len(got) == 5

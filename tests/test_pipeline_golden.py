@@ -1,0 +1,33 @@
+"""Golden end-to-end (SURVEY.md §5.2-4).
+
+The committed golden parquet stands in for the reference harvester's
+outputs until `/root/reference` is restored (SURVEY §0): any change to
+extraction, mining, cell/tile math, PIP, or record-id derivation that
+alters a single output value fails this test. Regenerate deliberately
+with tools/regen_golden.py when semantics change ON PURPOSE.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pandas as pd
+
+GOLDEN = Path(__file__).parent / "golden" / "records_sf_small.parquet"
+
+
+def test_pipeline_matches_committed_golden(spark):
+    from harvester_fgp_spark.plans.pipeline import mine_records
+    from harvester_fgp_spark.synth import generate_polygons, pages_df
+
+    records = mine_records(
+        spark, pages_df(spark, 500, seed=42), generate_polygons(60, seed=42)
+    )
+    got = (
+        records.toPandas()
+        .sort_values(["record_id", "polygon_id"], na_position="first")
+        .reset_index(drop=True)
+    )
+    exp = pd.read_parquet(GOLDEN)
+    assert list(got.columns) == list(exp.columns)
+    pd.testing.assert_frame_equal(got, exp, check_exact=True)
