@@ -225,13 +225,23 @@ def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _utc(spark: SparkSession) -> None:
+    """Timestamp rendering and date_trunc boundaries follow the session
+    timezone; pin UTC so they match DuckDB's naive timestamps regardless
+    of the driver session's default."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
     cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
     rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
         "decimal(28,4)"
     )
+    # timestamps leave the oracle surface as formatted strings — the
+    # driver's value-hash may not canonicalize ns-vs-us datetime units
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
@@ -239,6 +249,11 @@ def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate_s"),
+            "revenue",
+        )
     )
 
 
@@ -448,9 +463,13 @@ def _q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_date_trunc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
     orders = _read(spark, sf_dir, "orders")
     return (
-        orders.withColumn("month", F.date_trunc("month", F.col("o_orderdate")))
+        orders.withColumn(
+            "month",
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd"),
+        )
         .groupBy("month")
         .agg(
             F.count("*").alias("n_orders"),
@@ -491,6 +510,32 @@ def _q_salted_join_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(_dec("value")).cast("double").alias("sum_value"),
         )
+    )
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: for each error event, the latest prior click value per user."""
+    from harvester_fgp_spark.operators.joins import asof_join
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), "value"
+    )
+    out = asof_join(
+        errors, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        value_cols=["value", "click_ts"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_value").alias("last_click_value"),
+        F.date_format("asof_click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_click_ts_s"
+        ),
     )
 
 
@@ -631,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_trunc_monthly": _q_date_trunc_monthly,
         "sim_near_dup": _q_sim_near_dup,
         "salted_join_users": _q_salted_join_users,
+        "asof_join_events": _q_asof_join,
         "media_meta": _q_media_meta,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -773,17 +819,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
         """,
         "tpch_q3_revenue_topk": """
-            SELECT o_orderkey, o_orderdate,
-                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                        AS DECIMAL(28,4))) AS DOUBLE) AS revenue
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            WHERE c_mktsegment = 'BUILDING'
-            GROUP BY o_orderkey, o_orderdate
-            ORDER BY revenue DESC, o_orderkey ASC
-            LIMIT 10
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+                   revenue
+            FROM (
+                SELECT o_orderkey, o_orderdate,
+                       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                            AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING'
+                GROUP BY o_orderkey, o_orderdate
+                ORDER BY revenue DESC, o_orderkey ASC
+                LIMIT 10
+            )
         """,
         "join_regions": """
             SELECT r_name, COUNT(*) AS n_customers,
@@ -913,7 +964,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE user_id < 40 GROUP BY event_type
         """,
         "date_trunc_monthly": """
-            SELECT date_trunc('month', o_orderdate) AS month,
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
                    COUNT(*) AS n_orders,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
             FROM orders GROUP BY 1
@@ -942,6 +993,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events JOIN dim USING (user_id)
             GROUP BY cohort
+        """,
+        "asof_join_events": """
+            SELECT e.event_id, e.user_id,
+                   c.value AS last_click_value,
+                   strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts_s
+            FROM (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'error'
+            ) e
+            ASOF LEFT JOIN (
+                SELECT user_id, ts AS click_ts, value FROM events
+                WHERE event_type = 'click'
+            ) c
+            ON e.user_id = c.user_id AND e.ts >= c.click_ts
         """,
         "media_meta": """
             SELECT doc_id AS media_id,

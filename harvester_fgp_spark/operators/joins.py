@@ -73,6 +73,57 @@ def choose_salt_factor(
     return max(1, min(salt, max_salt))
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """J8: as-of join — for each left row, the latest right row with
+    right_ts <= left_ts per key.
+
+    Union-window rewrite (one shuffle on the key, no range-explosion):
+    tag sides, sort (ts, side) within key with the right side first on
+    ties (<= semantics), carry values forward with last(ignorenulls),
+    keep left rows. This is the shape that scales — a naive
+    theta-join (l.ts >= r.ts) is quadratic per key.
+    """
+    from pyspark.sql.window import Window
+
+    lcols = [f.name for f in left.schema.fields]
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l.schema["_left"].dataType).alias("_left"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l.unionByName(r)
+    for c in value_cols:
+        u = u.withColumn(f"_v_{c}", F.last(f"_v_{c}", ignorenulls=True).over(w))
+    out = u.filter(F.col("_side") == 1).select(
+        "_left.*", *[F.col(f"_v_{c}").alias(f"asof_{c}") for c in value_cols]
+    )
+    if how == "inner":
+        out = out.dropna(subset=[f"asof_{value_cols[0]}"])
+    return out
+
+
 def dedup_latest(df: DataFrame, key: str = "url", ts: str = "warc_ts") -> DataFrame:
     """W2 use-case: keep the latest crawl per url (lag/window dedup)."""
     from pyspark.sql.window import Window

@@ -78,3 +78,21 @@ def test_aqe_and_arrow_enabled(spark):
     assert (
         spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
     )
+
+
+def test_partition_pruning(spark, tmp_path):
+    """Date predicates prune partitions at the scan (SURVEY §4)."""
+    from harvester_fgp_spark.sources.layout import (
+        read_pages_layout,
+        write_pages_layout,
+    )
+    from harvester_fgp_spark.synth import pages_df
+
+    path = str(tmp_path / "pages_layout")
+    write_pages_layout(pages_df(spark, 300, seed=42), path)
+    df = read_pages_layout(spark, path, date_from="2024-01-10", date_to="2024-01-12")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "crawl_date" in plan
+    # behavior, not just plan text: only in-range dates come back
+    dates = {str(r.crawl_date) for r in df.select("crawl_date").distinct().collect()}
+    assert dates and all("2024-01-10" <= d <= "2024-01-12" for d in dates)

@@ -29,6 +29,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith(("int", "uint", "Int")):
             df[c] = df[c].astype("int64")
+        elif str(df[c].dtype).startswith("datetime64"):
+            # canonical unit: Spark toPandas -> ns, DuckDB -> us; NaT in
+            # mixed units breaks assert_frame_equal
+            df[c] = df[c].astype("datetime64[ns]")
         elif str(df[c].dtype) == "object":
             # decimals -> float, arrays/lists -> tuples (sortable/hashable)
             def _canon(v):
