@@ -370,38 +370,16 @@ def _q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per sampled query vector (native zip_with
-    + aggregate — no UDF)."""
+    + aggregate — no UDF; per-side norm precompute)."""
+    from harvester_fgp_spark.operators.similarity import cosine_topk
+
     emb = _read(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
-
-    def _dot(a: str, b: str) -> F.Column:
-        return F.aggregate(
-            F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    j = (
-        qs.crossJoin(cs)
-        .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn(
-            "cos_sim",
-            F.round(
-                _dot("q_emb", "c_emb")
-                / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("c_emb", "c_emb"))),
-                6,
-            ),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
-    return (
-        j.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
-        .select("q_id", "c_id", "rank", "cos_sim")
-    )
+    out = cosine_topk(qs, cs, k=5)
+    return out.select("q_id", "c_id", F.col("rank").cast("long").alias("rank"), "cos_sim")
 
 
 def _q_vocab_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,14 +458,19 @@ def _q_date_trunc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute force, native expressions)."""
-    from harvester_fgp_spark.operators.similarity import cosine_sim_col
+    from harvester_fgp_spark.operators.similarity import _dot
 
     emb = _read(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    a = a.withColumn("_na", F.sqrt(_dot("ea", "ea")))
     b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    b = b.withColumn("_nb", F.sqrt(_dot("eb", "eb")))
     return (
         a.join(b, a["ia"] < b["ib"])
-        .withColumn("cos_sim", F.round(cosine_sim_col("ea", "eb"), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(_dot("ea", "eb") / (F.col("_na") * F.col("_nb")), 6),
+        )
         .filter(F.col("cos_sim") >= 0.42)
         .select("ia", "ib", "cos_sim")
     )

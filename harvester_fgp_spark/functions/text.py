@@ -94,6 +94,52 @@ BBOX_RE = re.compile(
 COORD_PREFILTER_RE = r"(-?\d+\.\d+\s*,\s*-?\d+\.\d+)|(?i)west:\s*-?\d"
 
 
+def mine_payloads_batch(texts) -> list[list[dict]]:
+    """Batched E2 miner over a pandas Series — the pandas-UDF hot path.
+
+    Semantics identical to ``mine_payloads`` (property-tested in
+    tests/test_text_kernels.py::test_batch_miner_equals_scalar): bboxes
+    first in match order, then points in match order, same range checks.
+    extractall amortizes the per-row call/dict overhead; bbox spans are
+    masked (length-preserving) before point extraction, but only on the
+    minority of rows that contain a bbox — e.g. "north: 4, 5.5" must not
+    leak the bbox's trailing number into a point pair.
+    """
+    t = texts.reset_index(drop=True).fillna("")
+    out: list[list[dict]] = [[] for _ in range(len(t))]
+    bb = t.str.extractall(BBOX_RE)
+    bb_rows: set[int] = set()
+    if len(bb):
+        rows = bb.index.get_level_values(0).to_numpy()
+        bb_rows = set(rows.tolist())
+        w = bb[0].astype(float).to_numpy()
+        e = bb[1].astype(float).to_numpy()
+        s = bb[2].astype(float).to_numpy()
+        n = bb[3].astype(float).to_numpy()
+        ok = (w <= e) & (-180.0 <= w) & (e <= 180.0) & (s <= n) & (-90.0 <= s) & (n <= 90.0)
+        for r, wv, sv, ev, nv in zip(rows[ok], w[ok], s[ok], e[ok], n[ok]):
+            out[r].append(
+                {"kind": "bbox", "lat": None, "lon": None,
+                 "west": wv, "south": sv, "east": ev, "north": nv}
+            )
+    if bb_rows:
+        t = t.copy()
+        for r in bb_rows:
+            t.iat[r] = BBOX_RE.sub(lambda m: " " * len(m.group(0)), t.iat[r])
+    pts = t.str.extractall(COORD_PAIR_RE)
+    if len(pts):
+        rows = pts.index.get_level_values(0).to_numpy()
+        lat = pts[0].astype(float).to_numpy()
+        lon = pts[1].astype(float).to_numpy()
+        ok = (-90.0 <= lat) & (lat <= 90.0) & (-180.0 <= lon) & (lon <= 180.0)
+        for r, la, lo in zip(rows[ok], lat[ok], lon[ok]):
+            out[r].append(
+                {"kind": "point", "lat": la, "lon": lo,
+                 "west": None, "south": None, "east": None, "north": None}
+            )
+    return out
+
+
 def mine_payloads(text: str | None) -> list[dict]:
     """Text -> list of geo-payload dicts (kind/lat/lon/west/south/east/north).
 

@@ -37,7 +37,73 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 
 @pandas_udf(PAYLOADS_TYPE)
 def mine_payloads_udf(text: pd.Series) -> pd.Series:
+    # Scalar map wins: an extractall-based batch kernel was measured at
+    # parity in pure python (0.54s vs 0.60s / 20k rows) and slower
+    # end-to-end (MultiIndex assembly) — mine_payloads_batch remains as
+    # the property-tested alternative.
     return text.map(_text.mine_payloads)
+
+
+from pyspark.sql.types import StructField, StructType
+
+_EXTRACT_MINE_TYPE = StructType(
+    [
+        StructField("extracted_text", StringType(), True),
+        StructField("payloads", PAYLOADS_TYPE, True),
+    ]
+)
+
+
+@pandas_udf(_EXTRACT_MINE_TYPE)
+def extract_mine_udf(text: pd.Series, html: pd.Series) -> pd.DataFrame:
+    """Fused E1+E2: one Python stage instead of two.
+
+    Every chained ArrowEvalPython node costs a separate Python worker per
+    task (creation serialized JVM-side), so fusing consecutive Python
+    stages halves worker count and removes one Arrow round trip — this
+    measurably dominates pipeline scaling at high parallelism. Uses the
+    materialized text when present; extracts from html only when missing
+    (byte-identical path, same extract_text kernel).
+    """
+    et = [
+        t if t is not None else (_text.extract_text(bytes(h)) if h is not None else None)
+        for t, h in zip(text, html)
+    ]
+    return pd.DataFrame(
+        {"extracted_text": et, "payloads": [_text.mine_payloads(t) for t in et]}
+    )
+
+
+def with_extracted_payloads(df: DataFrame) -> DataFrame:
+    """P5 prefilter -> fused E1+E2 -> posexplode (the pipeline hot path).
+
+    The rlike prefilter applies to rows that already carry text; rows with
+    only html pass through to the extraction side of the fused kernel.
+    """
+    # substring contains() is ~10x cheaper than Java-regex rlike on the
+    # full corpus and is a strict SUPERSET of minable rows (a coord pair
+    # needs a comma; a bbox phrase contains "west:") — false positives
+    # just yield empty payload arrays that posexplode drops
+    prefilter = (
+        F.col("text").isNull()
+        | F.col("text").contains(",")
+        | F.col("text").contains("west:")
+    )
+    # null html JVM-side when text is present so the (large) html bytes
+    # never cross the Arrow boundary for already-extracted pages
+    html_in = F.when(F.col("text").isNull(), F.col("html"))
+    em = df.filter(prefilter).withColumn(
+        "_em", extract_mine_udf(F.col("text"), html_in)
+    )
+    return (
+        em.withColumn("extracted_text", F.col("_em.extracted_text"))
+        .select(
+            "*",
+            F.posexplode(F.col("_em.payloads")).alias("payload_idx", "payload"),
+        )
+        .select("*", "payload.*")
+        .drop("payload", "_em")
+    )
 
 
 def with_payloads(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -51,7 +117,9 @@ def with_payloads(df: DataFrame, text_col: str = "text") -> DataFrame:
     shuffle) downstream.
     """
     return (
-        df.filter(F.col(text_col).rlike(r"-?\d+\.\d+\s*,\s*-?\d+\.\d+|west:"))
+        df.filter(
+            F.col(text_col).contains(",") | F.col(text_col).contains("west:")
+        )
         .select(
             "*",
             F.posexplode(mine_payloads_udf(F.col(text_col))).alias(

@@ -58,11 +58,20 @@ def cosine_topk(
     q_emb: str = "q_emb",
     c_emb: str = "c_emb",
 ) -> DataFrame:
-    """Exact brute-force top-k (baseline; O(Q x N) cross join)."""
+    """Exact brute-force top-k (baseline; O(Q x N) cross join).
+
+    Norms are precomputed per SIDE before the join — recomputing them per
+    pair would triple the arithmetic inside the O(Q x N) hot loop.
+    """
+    qn = queries.withColumn("_qn", F.sqrt(_dot(q_emb, q_emb)))
+    cn = candidates.withColumn("_cn", F.sqrt(_dot(c_emb, c_emb)))
     j = (
-        queries.crossJoin(candidates)
+        qn.crossJoin(cn)
         .filter(F.col(q_id) != F.col(c_id))
-        .withColumn("cos_sim", F.round(cosine_sim_col(q_emb, c_emb), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(q_emb, c_emb) / (F.col("_qn") * F.col("_cn")), 6),
+        )
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
     return (
@@ -118,7 +127,12 @@ def ann_lsh_topk(
         .distinct()
     )
     ranked = pairs.withColumn(
-        "cos_sim", F.round(cosine_sim_col("q_emb", "c_emb"), 6)
+        "cos_sim",
+        F.round(
+            _dot("q_emb", "c_emb")
+            / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("c_emb", "c_emb"))),
+            6,
+        ),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return (

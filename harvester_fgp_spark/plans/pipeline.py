@@ -13,14 +13,99 @@ sizing, and the only Python is three Arrow-batched stages (E1, E2, G4).
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import text as _text
 from ..geo import cells as _cells
 from ..geo import tiles as _tiles
 from ..operators import extract as E
 from ..operators import geo as G
+
+# fused-stage output: page passthroughs + payload fields + PIP match.
+# extracted_text is optional: it weighs ~page-text bytes PER PAYLOAD ROW
+# through the Arrow boundary and downstream shuffles, and aggregate
+# consumers (tile summaries) never read it — keep_text=False drops it at
+# the source, which is the only place a MapInPandas column can be pruned.
+def _fused_schema(keep_text: bool) -> str:
+    text_part = "extracted_text string, " if keep_text else ""
+    return (
+        f"url string, warc_ts timestamp, lang string, {text_part}"
+        "payload_idx int, kind string, lat double, lon double, "
+        "west double, south double, east double, north double, "
+        "pt_lat double, pt_lon double, polygon_id string"
+    )
+
+
+def _fused_mine_match(bidx, keep_text: bool = True):
+    """extract -> mine -> explode -> exact PIP, in ONE Python pass.
+
+    Every ArrowEvalPython/MapInPandas node costs a Python worker per task
+    plus an Arrow round trip; at wide parallelism those fixed costs — not
+    kernels — dominate (measured: worker-pool creation is serialized
+    JVM-side). One fused stage keeps the whole Python portion of the
+    pipeline to a single worker per task.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        index = bidx.value
+        for pdf in batches:
+            cols = ["url", "warc_ts", "lang"]
+            if keep_text:
+                cols.append("extracted_text")
+            cols += ["payload_idx", "kind", "lat", "lon",
+                     "west", "south", "east", "north"]
+            rows: dict[str, list] = {k: [] for k in cols}
+            for url, ts, lang, text, html in zip(
+                pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["text"], pdf["html"]
+            ):
+                et = (
+                    text
+                    if text is not None
+                    else (_text.extract_text(bytes(html)) if html is not None else None)
+                )
+                for j, p in enumerate(_text.mine_payloads(et)):
+                    rows["url"].append(url)
+                    rows["warc_ts"].append(ts)
+                    rows["lang"].append(lang)
+                    if keep_text:
+                        rows["extracted_text"].append(et)
+                    rows["payload_idx"].append(j)
+                    for k in ("kind", "lat", "lon", "west", "south", "east", "north"):
+                        rows[k].append(p[k])
+            out = pd.DataFrame(rows)
+            if len(out) == 0:
+                yield pd.DataFrame(
+                    {k: [] for k in (*rows, "pt_lat", "pt_lon", "polygon_id")}
+                )
+                continue
+            is_pt = out["kind"].to_numpy() == "point"
+            out["pt_lat"] = np.where(
+                is_pt, out["lat"], (out["south"] + out["north"]) / 2.0
+            )
+            out["pt_lon"] = np.where(
+                is_pt, out["lon"], (out["west"] + out["east"]) / 2.0
+            )
+            pts_i, polys_i = index.match_points(
+                out["pt_lon"].to_numpy(), out["pt_lat"].to_numpy()
+            )
+            # left-join semantics identical to operators.geo.pip_join:
+            # one row per (payload, polygon) match; unmatched keep None
+            matched = out.iloc[pts_i].copy()
+            matched["polygon_id"] = np.array(index.polygon_ids, dtype=object)[
+                polys_i
+            ]
+            unmatched_mask = np.ones(len(out), dtype=bool)
+            unmatched_mask[np.unique(pts_i)] = False
+            rest = out.iloc[np.nonzero(unmatched_mask)[0]].copy()
+            rest["polygon_id"] = None
+            yield pd.concat([matched, rest], ignore_index=True)
+
+    return fn
 
 
 def mine_records(
@@ -30,6 +115,7 @@ def mine_records(
     cell_level: int = _cells.DEFAULT_LEVEL,
     tile_z: int = _tiles.DEFAULT_TILE_Z,
     verify_extraction: bool = False,
+    keep_text: bool = True,
 ) -> DataFrame:
     """pages + polygons -> normalized records (FIXTURES.md §3 core fields).
 
@@ -41,42 +127,56 @@ def mine_records(
     df = valid.filter(F.col("lang").isin("en", "fr"))
 
     if verify_extraction:
+        # byte-identity branch: force extraction from html for every row,
+        # then the modular (unfused) stages
         df = df.withColumn("extracted_text", E.extract_text_udf("html"))
-        text_col = "extracted_text"
-    else:
-        # Use materialized text when present; extract only where missing.
-        # The when() nulls the UDF INPUT for rows that already have text:
-        # ArrowEvalPython evaluates UDFs unconditionally (coalesce cannot
-        # short-circuit through it), so this is what keeps the html bytes
-        # of already-extracted pages off the Arrow boundary entirely.
+        df = E.with_payloads(df, "extracted_text")
         df = df.withColumn(
-            "extracted_text",
-            F.coalesce(
-                F.col("text"),
-                E.extract_text_udf(
-                    F.when(F.col("text").isNull(), F.col("html"))
-                ),
+            "pt_lat",
+            F.when(F.col("kind") == "point", F.col("lat")).otherwise(
+                (F.col("south") + F.col("north")) / 2
+            ),
+        ).withColumn(
+            "pt_lon",
+            F.when(F.col("kind") == "point", F.col("lon")).otherwise(
+                (F.col("west") + F.col("east")) / 2
             ),
         )
-        text_col = "extracted_text"
+        df = df.select(
+            "url", "warc_ts", "lang", "extracted_text", "payload_idx",
+            "kind", "lat", "lon", "west", "south", "east", "north",
+            "pt_lat", "pt_lon",
+        )
+        df = G.pip_join(spark, df, polygons_pdf, lon_col="pt_lon",
+                        lat_col="pt_lat", how="left")
+    else:
+        # hot path: extract -> mine -> explode -> exact PIP fused into ONE
+        # Python stage (see _fused_mine_match); the native prefilter keeps
+        # non-minable rows off the Arrow boundary, and nulling html keeps
+        # already-extracted pages' bytes off it
+        idx = G.build_polygon_index(polygons_pdf)
+        bidx = spark.sparkContext.broadcast(idx)
+        prefilter = (
+            F.col("text").isNull()
+            | F.col("text").contains(",")
+            | F.col("text").contains("west:")
+        )
+        narrow = df.filter(prefilter).select(
+            "url",
+            "warc_ts",
+            "lang",
+            "text",
+            F.when(F.col("text").isNull(), F.col("html")).alias("html"),
+        )
+        df = narrow.mapInPandas(
+            _fused_mine_match(bidx, keep_text=keep_text),
+            _fused_schema(keep_text),
+        )
 
-    df = E.with_payloads(df, text_col)
-    df = E.with_bilingual(df, text_col, "notes")
-
-    # Point coordinates: points carry (lat, lon); bboxes use their centroid
-    # for cell/tile keys but keep the full bounds for the spatial field.
-    df = df.withColumn(
-        "pt_lat",
-        F.when(F.col("kind") == "point", F.col("lat")).otherwise(
-            (F.col("south") + F.col("north")) / 2
-        ),
-    ).withColumn(
-        "pt_lon",
-        F.when(F.col("kind") == "point", F.col("lon")).otherwise(
-            (F.col("west") + F.col("east")) / 2
-        ),
-    )
-
+    # everything below is native (whole-stage codegen): bilingual pairing,
+    # cell encode, tile assign, record id, GeoJSON serialization
+    if keep_text:
+        df = E.with_bilingual(df, "extracted_text", "notes")
     df = df.withColumn(
         "cell_id", G.cell_encode_col(F.col("pt_lon"), F.col("pt_lat"), cell_level)
     )
@@ -86,11 +186,9 @@ def mine_records(
         .withColumn("tile_x", tx)
         .withColumn("tile_y", ty)
     )
-
-    # payload ordinal comes from posexplode (array position) — stable,
+    # payload ordinal comes from the miner's array position — stable,
     # deterministic, and no window shuffle (E7)
     df = df.withColumn("record_id", E.record_id_col(F.col("url"), F.col("payload_idx")))
-
     df = df.withColumn(
         "spatial",
         F.when(
@@ -100,45 +198,14 @@ def mine_records(
             ),
         ),
     )
-
-    # Narrow the row BEFORE the PIP Arrow boundary: html (binary!) and the
-    # raw text/lang columns must not ride through the Python stage — at
-    # 10^12 pages that transfer, not the ray cast, would be the bottleneck.
-    df = df.select(
-        "record_id", "url", "warc_ts", "notes_en", "notes_fr", "spatial",
-        "kind", "lat", "lon", "west", "south", "east", "north",
-        "cell_id", "tile_z", "tile_x", "tile_y", "extracted_text",
-        "pt_lat", "pt_lon",
-    )
-    records = G.pip_join(
-        spark,
-        df,
-        polygons_pdf,
-        lon_col="pt_lon",
-        lat_col="pt_lat",
-        how="left",
-    )
-    return records.select(
-        "record_id",
-        "url",
-        "warc_ts",
-        "notes_en",
-        "notes_fr",
-        "spatial",
-        "kind",
-        "lat",
-        "lon",
-        "west",
-        "south",
-        "east",
-        "north",
-        "cell_id",
-        "polygon_id",
-        "tile_z",
-        "tile_x",
-        "tile_y",
-        "extracted_text",
-    )
+    out_cols = [
+        "record_id", "url", "warc_ts",
+        *(["notes_en", "notes_fr"] if keep_text else []),
+        "spatial", "kind", "lat", "lon", "west", "south", "east", "north",
+        "cell_id", "polygon_id", "tile_z", "tile_x", "tile_y",
+        *(["extracted_text"] if keep_text else []),
+    ]
+    return df.select(*out_cols)
 
 
 def tile_summary(records: DataFrame) -> DataFrame:

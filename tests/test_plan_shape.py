@@ -55,21 +55,21 @@ def test_udf_stages_are_arrow_batched(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
-def test_pipeline_prunes_html_after_extraction(spark):
-    """The PIP Arrow stage must not carry the html/text payload columns."""
+def test_pipeline_has_single_fused_python_stage(spark):
+    """The whole extract->mine->explode->PIP portion is ONE Python stage
+    (worker-per-UDF-node cost dominated scaling — see plans.pipeline),
+    and raw html only enters it behind the text-is-null guard."""
     from harvester_fgp_spark.plans.pipeline import mine_records
     from harvester_fgp_spark.synth import generate_polygons, pages_df
 
     records = mine_records(spark, pages_df(spark, 200, seed=42),
                            generate_polygons(20, seed=42))
     plan = _plan(records)
-    # MapInPandas (the PIP join) input must exclude html
-    import re
-
-    m = re.search(r"MapInPandas _match\(([^)]*)\)", plan)
-    assert m, plan[:2000]
-    assert "html" not in m.group(1)
-    assert "cell_id" in m.group(1)
+    assert plan.count("MapInPandas") == 1, plan[:2000]
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    # html is guarded: CASE WHEN isnull(text) THEN html feeds the stage
+    assert "CASE WHEN" in plan and "html" in plan
 
 
 def test_aqe_and_arrow_enabled(spark):

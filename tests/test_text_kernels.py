@@ -85,3 +85,45 @@ def test_shingles():
     s1 = T.shingles("a b c d e f g", k=5)
     s2 = T.shingles("a b c d e f g", k=5)
     assert s1 == s2 and len(s1) == 3
+
+
+def test_batch_miner_equals_scalar():
+    """The extractall hot path must match the scalar oracle exactly."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from harvester_fgp_spark.synth import generate_pages
+
+    pdf = generate_pages(2000, seed=42)
+    batch = T.mine_payloads_batch(pdf["text"])
+    for text, got in zip(pdf["text"], batch):
+        assert got == T.mine_payloads(text)
+    # adversarial edge cases incl. the bbox-masking interaction
+    cases = [
+        None, "", "no geo here", "45.5, -75.5",
+        "west: 1 east: 2 south: 3 north: 4, 5.5",   # masked trailing comma
+        "west: 10 east: -10 south: 0 north: 5",       # inverted -> dropped
+        "91.0, 10.0 45.0, 181.0",                     # out of range
+        "west: -80.5 east: -70.2 south: 40.1 north: 50.9 then 49.1, -100.2",
+        "1.5, 2.5 3.5, 4.5 5.5, 6.5",                 # many points
+    ]
+    got = T.mine_payloads_batch(pd.Series(cases))
+    for text, g in zip(cases, got):
+        assert g == T.mine_payloads(text), text
+
+
+def test_batch_miner_property_random_text():
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(99)
+    frags = ["west:", "east:", "south:", "north:", ",", " ", "-", ".",
+             "12", "45.5", "-75.25", "90", "180.0", "x", "99.9", "0"]
+    texts = [
+        "".join(rng.choice(frags, size=rng.integers(0, 30)))
+        for _ in range(500)
+    ]
+    got = T.mine_payloads_batch(pd.Series(texts))
+    for text, g in zip(texts, got):
+        assert g == T.mine_payloads(text), repr(text)
