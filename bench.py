@@ -24,7 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("HFS_BENCH_PAGES", "200000"))
+# 2M pages: large enough that steady-state throughput, not per-run job
+# overhead (~1-2 s), dominates the headline number; generated once and
+# cached under /tmp
+N_PAGES = int(os.environ.get("HFS_BENCH_PAGES", "2000000"))
 
 BENCH_QUERIES = (
     "geo_box_tile_summary",
