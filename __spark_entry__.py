@@ -433,10 +433,19 @@ def _q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: deterministic list outputs via array_sort(collect_set)."""
+    """A5: deterministic list outputs via array_sort(collect_set).
+
+    Serialized to a comma-joined string on BOTH sides: the driver's
+    canonicalizer sorts result columns with pandas, which cannot hash a
+    raw list column (round-1 gate failure) — the list op itself is still
+    exercised; only the comparison surface is a string.
+    """
     ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    arr = F.slice(F.array_sort(F.collect_set("user_id")), 1, 10)
     return ev.groupBy("event_type").agg(
-        F.slice(F.array_sort(F.collect_set("user_id")), 1, 10).alias("first_users")
+        F.concat_ws(",", F.transform(arr, lambda x: x.cast("string"))).alias(
+            "first_users"
+        )
     )
 
 
@@ -943,7 +952,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "array_agg_sorted": """
             SELECT event_type,
-                   list_sort(list(DISTINCT user_id))[1:10] AS first_users
+                   array_to_string(list_sort(list(DISTINCT user_id))[1:10], ',')
+                       AS first_users
             FROM events WHERE user_id < 40 GROUP BY event_type
         """,
         "date_trunc_monthly": """

@@ -82,12 +82,14 @@ def with_extracted_payloads(df: DataFrame) -> DataFrame:
     """
     # substring contains() is ~10x cheaper than Java-regex rlike on the
     # full corpus and is a strict SUPERSET of minable rows (a coord pair
-    # needs a comma; a bbox phrase contains "west:") — false positives
-    # just yield empty payload arrays that posexplode drops
+    # needs a comma; a bbox phrase contains "west:" — lower() because
+    # BBOX_RE is case-insensitive, so "WEST:" must pass too; the OR
+    # short-circuits, so lower() only runs on comma-free rows) — false
+    # positives just yield empty payload arrays that posexplode drops
     prefilter = (
         F.col("text").isNull()
         | F.col("text").contains(",")
-        | F.col("text").contains("west:")
+        | F.lower(F.col("text")).contains("west:")
     )
     # null html JVM-side when text is present so the (large) html bytes
     # never cross the Arrow boundary for already-extracted pages
@@ -118,7 +120,8 @@ def with_payloads(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     return (
         df.filter(
-            F.col(text_col).contains(",") | F.col(text_col).contains("west:")
+            F.col(text_col).contains(",")
+            | F.lower(F.col(text_col)).contains("west:")
         )
         .select(
             "*",

@@ -305,6 +305,11 @@ def knn_join(
 
     Both sides must carry `cell_id` at `level` plus lat/lon columns named
     (q_lat, q_lon) / (c_lat, c_lon).
+
+    Contract: `broadcast_candidates=True` (the default) is only valid for
+    dimension-sized candidate sets (e.g. collection centroids, <= a few
+    hundred MB serialized). For large-x-large kNN pass False — the prefix
+    equi-join then plans as a shuffled SMJ/SHJ, which is the 10^12 shape.
     """
     from pyspark.sql.window import Window
 
@@ -321,6 +326,11 @@ def knn_join(
 
     pairs = _pass(prefix_level, queries)
     if expand_underfilled and prefix_level >= 2:
+        # `pairs` feeds BOTH the filled-query derivation and the final
+        # union — without persist the prefix join executes twice (verified
+        # in the round-1 plan audit). Spark drops the cache under memory
+        # pressure / on GC of the DataFrame, so no explicit unpersist.
+        pairs = pairs.persist()
         filled = (
             pairs.groupBy(query_id)
             .agg(F.count("*").alias("_n"))

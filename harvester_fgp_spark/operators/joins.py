@@ -32,7 +32,16 @@ def salted_join(
     Scale note: explodes the small side by `salt`x — keep the build side
     small or broadcast; pick `salt` from a sampled key histogram rather
     than folklore constants.
+
+    Only inner/left are supported: for right/full joins the exploded
+    build side would emit each UNMATCHED small-side row `salt` times,
+    breaking the identical-result-set guarantee.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: outer "
+            "variants would duplicate unmatched build rows salt times"
+        )
     salted_large = large.withColumn(
         "_salt", (F.rand(seed) * salt).cast("int")
     )
@@ -116,12 +125,21 @@ def asof_join(
     u = l.unionByName(r)
     for c in value_cols:
         u = u.withColumn(f"_v_{c}", F.last(f"_v_{c}", ignorenulls=True).over(w))
+    # explicit matched flag: a right row seen at-or-before this position.
+    # Filtering on a carried VALUE column would also drop left rows whose
+    # matched right row legitimately has a NULL value.
+    u = u.withColumn(
+        "_matched",
+        F.last(F.when(F.col("_side") == 0, F.lit(1)), ignorenulls=True).over(w),
+    )
     out = u.filter(F.col("_side") == 1).select(
-        "_left.*", *[F.col(f"_v_{c}").alias(f"asof_{c}") for c in value_cols]
+        "_left.*",
+        *[F.col(f"_v_{c}").alias(f"asof_{c}") for c in value_cols],
+        "_matched",
     )
     if how == "inner":
-        out = out.dropna(subset=[f"asof_{value_cols[0]}"])
-    return out
+        out = out.filter(F.col("_matched") == 1)
+    return out.drop("_matched")
 
 
 def dedup_latest(df: DataFrame, key: str = "url", ts: str = "warc_ts") -> DataFrame:

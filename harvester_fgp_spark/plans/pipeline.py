@@ -156,10 +156,13 @@ def mine_records(
         # already-extracted pages' bytes off it
         idx = G.build_polygon_index(polygons_pdf)
         bidx = spark.sparkContext.broadcast(idx)
+        # lower() keeps the prefilter a strict SUPERSET of BBOX_RE's
+        # case-insensitive matches ("WEST: ..." pages must not be dropped);
+        # the OR short-circuits so lower() only runs on comma-free rows
         prefilter = (
             F.col("text").isNull()
             | F.col("text").contains(",")
-            | F.col("text").contains("west:")
+            | F.lower(F.col("text")).contains("west:")
         )
         narrow = df.filter(prefilter).select(
             "url",

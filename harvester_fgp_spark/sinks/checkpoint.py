@@ -82,12 +82,56 @@ def write_records_and_checkpoint(
     Write order is the crash-safety argument: data first, marker second;
     a crash between the two leaves an uncommitted tile that the resume
     filter will redo (overwrite — idempotent).
+
+    `tiled` is persisted across the two writes so the lineage rows are
+    computed from the SAME materialization as the parquet data — without
+    it, any upstream nondeterminism (rand-based salting, sampling) could
+    commit fingerprints that disagree with the files actually written.
     """
     spark = records.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    tiled = with_tile_id(records)
-    tiled.write.mode("overwrite").partitionBy("tile_id").parquet(out_dir)
-    lineage_rows(tiled, run_id, stage).write.mode("append").parquet(checkpoint_dir)
+    tiled = with_tile_id(records).persist()
+    try:
+        tiled.write.mode("overwrite").partitionBy("tile_id").parquet(out_dir)
+        lineage_rows(tiled, run_id, stage).write.mode("append").parquet(
+            checkpoint_dir
+        )
+    finally:
+        tiled.unpersist()
+
+
+def write_stream_batch(
+    records: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    run_id: str,
+    batch_id: int,
+    stage: str = "records",
+) -> None:
+    """Streaming S4: per-micro-batch sink with exactly-once-per-(tile,batch).
+
+    Tiles SPAN micro-batches, so the batch sink's overwrite-by-tile would
+    erase earlier batches' rows in the same tile. Here the partition key is
+    (tile_id, batch_id): dynamic overwrite touches only THIS batch's
+    partitions, so a replayed batch (streaming restart) overwrites its own
+    previous partial output and never another batch's rows.
+    """
+    spark = records.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    tiled = (
+        with_tile_id(records)
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .persist()
+    )
+    try:
+        tiled.write.mode("overwrite").partitionBy("tile_id", "batch_id").parquet(
+            out_dir
+        )
+        lineage_rows(tiled, f"{run_id}-b{batch_id}", stage).write.mode(
+            "append"
+        ).parquet(checkpoint_dir)
+    finally:
+        tiled.unpersist()
 
 
 def completed_tiles(spark: SparkSession, checkpoint_dir: str, stage: str = "records") -> DataFrame:

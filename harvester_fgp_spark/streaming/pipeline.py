@@ -71,14 +71,17 @@ def stream_records_foreach_batch(
     run_id: str,
 ):
     """foreachBatch: each micro-batch runs the UNCHANGED batch pipeline
-    and commits through the same tile-grain checkpoint protocol."""
+    and commits through the streaming variant of the checkpoint sink
+    (partitioned by (tile_id, batch_id) — tiles span micro-batches, so the
+    batch sink's overwrite-by-tile would silently erase earlier batches'
+    rows in the same tile; see sinks.checkpoint.write_stream_batch)."""
     from ..plans.pipeline import mine_records
-    from ..sinks.checkpoint import with_tile_id, write_records_and_checkpoint
+    from ..sinks.checkpoint import write_stream_batch
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         records = mine_records(spark, batch_df, polygons_pdf)
-        write_records_and_checkpoint(
-            records, out_dir, checkpoint_dir, run_id=f"{run_id}-b{batch_id}"
+        write_stream_batch(
+            records, out_dir, checkpoint_dir, run_id=run_id, batch_id=batch_id
         )
 
     return pages.writeStream.foreachBatch(_process)
