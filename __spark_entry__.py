@@ -466,23 +466,13 @@ def _q_date_trunc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute force, native expressions)."""
-    from harvester_fgp_spark.operators.similarity import _dot
+    """Embedding-cosine near-dup pairs — exact result via the
+    projection-bucketed equi-join (no BroadcastNestedLoopJoin; the
+    all-pairs form lives ONLY in the DuckDB oracle)."""
+    from harvester_fgp_spark.operators.similarity import exact_near_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
-    a = a.withColumn("_na", F.sqrt(_dot("ea", "ea")))
-    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
-    b = b.withColumn("_nb", F.sqrt(_dot("eb", "eb")))
-    return (
-        a.join(b, a["ia"] < b["ib"])
-        .withColumn(
-            "cos_sim",
-            F.round(_dot("ea", "eb") / (F.col("_na") * F.col("_nb")), 6),
-        )
-        .filter(F.col("cos_sim") >= 0.42)
-        .select("ia", "ib", "cos_sim")
-    )
+    return exact_near_dup_pairs(emb, threshold=0.42)
 
 
 def _q_salted_join_users(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -88,25 +88,20 @@ def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([_jaccard(x, y) for x, y in zip(a, b)])
 
 
-def minhash_near_dup_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    threshold: float = 0.8,
+def band_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """All (id_a < id_b) pairs with verified shingle-Jaccard >= threshold.
+    """(id, band, bh) — the ONLY columns that cross the LSH band shuffle.
 
-    Plan: signature -> explode bands -> hash each band's slice ->
-    self-equi-join on (band, band_hash) -> distinct candidate pairs ->
-    exact verify. Band hash via native xxhash64 on the slice.
+    Fixed-width by construction (two longs + an int per row x NUM_BANDS):
+    at 100 TB the band self-join moves O(corpus_rows x NUM_BANDS x 20 B),
+    not corpus bytes. tests/test_dedup_plan.py asserts no string column
+    ever enters this table.
     """
     rows_per_band = NUM_PERM // NUM_BANDS
-    sig = docs.select(
-        F.col(id_col), F.col(text_col), minhash_udf(F.col(text_col)).alias("sig")
-    )
-    bands = sig.select(
+    sig = docs.select(F.col(id_col), minhash_udf(F.col(text_col)).alias("sig"))
+    return sig.select(
         id_col,
-        text_col,
         F.explode(
             F.array(
                 *[
@@ -120,21 +115,52 @@ def minhash_near_dup_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, text_col, "bb.band", "bb.bh")
-    left = bands.select(
-        F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"), "band", "bh"
-    )
-    right = bands.select(
-        F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"), "band", "bh"
-    )
+    ).select(id_col, "bb.band", "bb.bh")
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All (id_a < id_b) pairs with verified shingle-Jaccard >= threshold.
+
+    Plan: signature -> (id, band, bh) band table -> self-equi-join on
+    (band, band_hash) -> distinct candidate ID pairs -> texts joined back
+    ONLY for the candidate set -> exact-Jaccard verify.
+
+    Round-1 defect fixed here: the band self-join used to carry full
+    document text on both sides (~2 x NUM_BANDS x corpus bytes through
+    the shuffle). Now the candidate generation shuffles only compact keys;
+    texts are fetched via a broadcast semi-join on the candidate id set,
+    which is far smaller than the corpus by construction (LSH banding
+    exists precisely to make it so).
+    """
+    bands = band_table(docs, id_col, text_col)
+    left = bands.select(F.col(id_col).alias("id_a"), "band", "bh")
+    right = bands.select(F.col(id_col).alias("id_b"), "band", "bh")
     cands = (
         left.join(right, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "text_a", "text_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    # candidate id set is small -> broadcast it; the two text fetches are
+    # then broadcast hash joins that STREAM docs (no text shuffle at all)
+    ids = (
+        cands.select(F.col("id_a").alias("_id"))
+        .unionByName(cands.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    needed = docs.join(
+        F.broadcast(ids), docs[id_col] == ids["_id"], "left_semi"
+    ).select(id_col, text_col)
+    ta = needed.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    tb = needed.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    verify = cands.join(ta, "id_a").join(tb, "id_b")
     return (
-        cands.withColumn("jaccard", jaccard_udf("text_a", "text_b"))
+        verify.withColumn("jaccard", jaccard_udf("text_a", "text_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -81,6 +81,75 @@ def cosine_topk(
     )
 
 
+_NEARDUP_RNG = np.random.default_rng(99)
+
+
+def exact_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = _DIM_DEFAULT,
+) -> DataFrame:
+    """Exact cosine near-dup pairs (cos >= threshold) WITHOUT an all-pairs
+    nested loop — result set identical to the brute-force theta join.
+
+    Blocking with a *guaranteed-complete* candidate set: for unit vectors,
+    cos(a,b) >= t implies the chord bound ||a-b|| <= sqrt(2-2t), and any
+    unit projection r satisfies |r.a - r.b| <= ||a-b||. So bucketing each
+    vector by floor((r.e/||e||)/w) with w = sqrt(2-2t) puts every
+    qualifying pair in the same or adjacent bucket; an equi-join on the
+    bucket key with the probe side exploded to {b-1, b, b+1} is therefore
+    complete, and the exact cosine filter removes the false positives.
+
+    Physical plan: shuffled hash/sort-merge join on an integer key — no
+    BroadcastNestedLoopJoin, no O(N^2) row explosion, no driver-sized
+    broadcast (the round-1 scale-killer this replaces). At production
+    near-dup thresholds (>= 0.9) w is small and the candidate count is
+    near-linear; as t -> 0 buckets widen and the plan degrades gracefully
+    toward brute force but never misses a pair.
+
+    `w` is derived from threshold - 1e-5 so float rounding at the bucket
+    boundary can never push a true pair out of the adjacent-bucket window.
+    """
+    r = _NEARDUP_RNG.standard_normal(dim)
+    r = r / np.linalg.norm(r)
+    r_lit = F.array(*[F.lit(float(x)) for x in r])
+    w = float(np.sqrt(max(2.0 - 2.0 * (threshold - 1e-5), 1e-12)))
+
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_e"),
+        F.sqrt(_dot(emb_col, emb_col)).alias("_n"),
+    ).withColumn(
+        "_bkt", F.floor(_dot("_e", r_lit) / (F.col("_n") * F.lit(w))).cast("long")
+    )
+    probe = base.select(
+        F.col("_id").alias("ia"),
+        F.col("_e").alias("ea"),
+        F.col("_n").alias("na"),
+        F.explode(
+            F.array(F.col("_bkt") - 1, F.col("_bkt"), F.col("_bkt") + 1)
+        ).alias("_bkt"),
+    )
+    build = base.select(
+        F.col("_id").alias("ib"),
+        F.col("_e").alias("eb"),
+        F.col("_n").alias("nb"),
+        "_bkt",
+    )
+    return (
+        probe.join(build, "_bkt")
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn(
+            "cos_sim",
+            F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("ia", "ib", "cos_sim")
+    )
+
+
 def lsh_buckets_udf(dim: int):
     planes = _PLANES if dim == _DIM_DEFAULT else np.random.default_rng(77).standard_normal(
         (N_TABLES, N_PLANES, dim)

@@ -1,0 +1,105 @@
+"""Scale-shape + correctness checks for the round-2 dedup/similarity fixes.
+
+- MinHash band join: only compact keys (no string column) cross the
+  candidate-generation shuffle; planted near-dups are still found.
+- exact_near_dup_pairs: result identical to the brute-force theta join on
+  random vectors, with a plan that contains no BroadcastNestedLoopJoin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from harvester_fgp_spark.operators.dedup import band_table, minhash_near_dup_pairs
+from harvester_fgp_spark.operators.similarity import exact_near_dup_pairs
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_band_table_carries_no_text(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d", "a b c e"]})
+    )
+    bt = band_table(docs)
+    # the ONLY columns crossing the band-join shuffle: (long, int, long)
+    types = {f.name: f.dataType.simpleString() for f in bt.schema.fields}
+    assert "string" not in set(types.values()), types
+    assert set(types) == {"doc_id", "band", "bh"}
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [
+        " ".join(rng.choice(vocab, size=40).tolist()) for _ in range(60)
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    # plant 5 near-dups: copy with one word changed (high Jaccard)
+    for i in range(5):
+        words = texts[i].split()
+        words[3] = "CHANGED"
+        rows.append({"doc_id": 1000 + i, "text": " ".join(words)})
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(docs, threshold=0.7).collect()
+    }
+    for i in range(5):
+        assert (i, 1000 + i) in pairs, f"planted pair {i} missed: {pairs}"
+
+
+def _brute_pairs(spark, emb, threshold):
+    from harvester_fgp_spark.operators.similarity import _dot
+
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, a["ia"] < b["ib"])
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot("ea", "eb")
+                / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb"))),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("ia", "ib", "cos_sim")
+    )
+
+
+def test_exact_near_dup_equals_brute_force(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    # plant near-dups so high thresholds have hits
+    dups = base[:8] + rng.standard_normal((8, 16)).astype(np.float32) * 0.05
+    mat = np.vstack([base, dups])
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(mat)), "embedding": [list(map(float, v)) for v in mat]}
+    )
+    emb = spark.createDataFrame(pdf).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    for t in (0.95, 0.5, 0.2):
+        got = {
+            (r.ia, r.ib, r.cos_sim)
+            for r in exact_near_dup_pairs(emb, threshold=t, dim=16).collect()
+        }
+        exp = {
+            (r.ia, r.ib, r.cos_sim) for r in _brute_pairs(spark, emb, t).collect()
+        }
+        assert got == exp, f"t={t}: {got ^ exp}"
+    assert len(got) > 0  # t=0.2 must have found something
+
+
+def test_exact_near_dup_plan_has_no_nested_loop(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = exact_near_dup_pairs(emb, threshold=0.42)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
