@@ -147,6 +147,23 @@ def _q_geo_box_tile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tile_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 grouped-map pandas UDF: per-tile centroid + bbox union via
+    groupBy(tile).applyInPandas (SURVEY §2.6 A4); exact integer-sum
+    centroid so the DuckDB twin value-hashes identically."""
+    from harvester_fgp_spark.operators.groupstats import tile_group_stats
+
+    pts = D.points_from_documents(spark, sf_dir)
+    tx, ty = G.tile_cols(F.col("lon"), F.col("lat"), TILE_Z)
+    tiled = pts.select(
+        tx.cast("long").alias("tile_x"),
+        ty.cast("long").alias("tile_y"),
+        "lat",
+        "lon",
+    )
+    return tile_group_stats(tiled)
+
+
 def _q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5/G6/W1: 3 nearest box centroids per sampled point (haversine)."""
     pts = D.points_from_documents(spark, sf_dir).filter(
@@ -636,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_box_join": _q_geo_box_join,
         "geo_box_tile_summary": _q_geo_box_tile_summary,
         "geo_knn": _q_geo_knn,
+        "tile_group_stats": _q_tile_group_stats,
         "geo_haversine_within": _q_geo_haversine_within,
         "geo_bbox_cover": _q_geo_bbox_cover,
         "tpch_q1_pricing": _q_tpch_q1,
@@ -787,6 +805,21 @@ def oracle_sql() -> dict[str, str]:
             {boxes_cover}
             SELECT cover_cell, COUNT(DISTINCT box_id) AS n_boxes
             FROM cover GROUP BY cover_cell HAVING COUNT(DISTINCT box_id) >= 2
+        """,
+        "tile_group_stats": f"""
+            WITH pts AS ({pts}),
+            tiled AS (
+                SELECT {tile_x} AS tile_x, {tile_y} AS tile_y, lat, lon
+                FROM pts
+            )
+            SELECT tile_x, tile_y, COUNT(*) AS n_points,
+                   CAST(SUM(CAST(ROUND(lat * 100) AS BIGINT)) AS DOUBLE)
+                       / (100.0 * COUNT(*)) AS centroid_lat,
+                   CAST(SUM(CAST(ROUND(lon * 100) AS BIGINT)) AS DOUBLE)
+                       / (100.0 * COUNT(*)) AS centroid_lon,
+                   MIN(lat) AS min_lat, MAX(lat) AS max_lat,
+                   MIN(lon) AS min_lon, MAX(lon) AS max_lon
+            FROM tiled GROUP BY 1, 2
         """,
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,
