@@ -583,6 +583,9 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard pairs; oracle-exact — the Spark side hashes grams
+    (xxhash64) only as a compact join key, so distinct-gram set algebra
+    matches DuckDB's over the gram STRINGS (injective modulo 2^-64)."""
     from harvester_fgp_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = (
@@ -592,6 +595,21 @@ def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dup = docs.withColumn("doc_id", F.col("doc_id") + 10000)
     return ngram_jaccard_pairs(docs.unionByName(dup), threshold=0.9)
+
+
+def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting graduated to an exact oracle: the Python
+    regex kernel (textops.token_count_udf) vs DuckDB regexp_extract_all
+    with the same pattern — a real cross-engine regex-equality check."""
+    from harvester_fgp_spark.operators.textops import token_count_udf
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_udf(F.col("text")).cast("long")).alias(
+            "sum_bpe_tokens"
+        ),
+    )
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -682,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram": _q_dedup_ngram,
         "text_analysis": _q_text_analysis,
+        "text_token_stats": _q_text_token_stats,
         "ann_lsh": _q_ann_lsh,
         "approx_distinct_users": _q_approx_distinct,
         "polygon_tiles": _q_polygon_tiles,
@@ -1032,7 +1051,42 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha
             FROM documents
         """,
-        # dedup_minhash / dedup_simhash / dedup_ngram / text_analysis /
+        "dedup_ngram": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 100
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id, text FROM documents
+                WHERE doc_id < 100
+            ),
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ws[i:i+2], ' ') AS gram
+                FROM w, UNNEST(range(1, GREATEST(len(ws) - 2, 1) + 1)) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       COUNT(*) AS n_inter
+                FROM g a JOIN g b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.9
+        """,
+        "text_token_stats": r"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(
+                       text, '[a-zA-ZÀ-ɏ]+|\d+|[^\sa-zA-Z\d]'
+                   ))) AS BIGINT) AS sum_bpe_tokens
+            FROM documents GROUP BY lang
+        """,
+        # dedup_minhash / dedup_simhash / text_analysis /
         # ann_lsh / approx_distinct_users / polygon_tiles /
         # pipeline_flagship: non-SQL-expressible (hash kernels, pandas-UDF
         # mining, HLL sketch internals) -> rows-only driver check by design.
