@@ -177,9 +177,37 @@ def mine_records(
         )
 
     # everything below is native (whole-stage codegen): bilingual pairing,
+    # title/keywords derivation, vocab mapping, temporal normalization,
     # cell encode, tile assign, record id, GeoJSON serialization
     if keep_text:
         df = E.with_bilingual(df, "extracted_text", "notes")
+        words = F.split(F.col("extracted_text"), " ")
+        # title stands in for the reference's dataset title ([REF?
+        # harvest_hnap.py]): leading 4 words of the canonical text —
+        # deterministic and bilingual-paired like every HNAP free-text
+        df = df.withColumn("title", F.concat_ws(" ", F.slice(words, 1, 4)))
+        df = E.with_bilingual(df, "title", "title")
+        df = df.withColumn(
+            "keywords", F.array_sort(F.array_distinct(F.slice(words, 1, 12)))
+        )
+        # E4: mined vocab codes -> canonical labels via native map literals
+        df = df.withColumn(
+            "topic_category",
+            E.vocab_map_col(
+                E.TOPIC_CATEGORIES,
+                F.regexp_extract(F.col("extracted_text"), r"topic:\s*(\w+)", 1),
+            ),
+        ).withColumn(
+            "frequency",
+            E.vocab_map_col(
+                E.FREQUENCIES,
+                F.regexp_extract(
+                    F.col("extracted_text"), r"frequency:\s*(\w+)", 1
+                ),
+            ),
+        )
+    # E5: temporal normalization (crawl_date) in both branches — native
+    df = E.with_temporal(df)
     df = df.withColumn(
         "cell_id", G.cell_encode_col(F.col("pt_lon"), F.col("pt_lat"), cell_level)
     )
@@ -202,8 +230,15 @@ def mine_records(
         ),
     )
     out_cols = [
-        "record_id", "url", "warc_ts",
-        *(["notes_en", "notes_fr"] if keep_text else []),
+        "record_id", "url", "warc_ts", "crawl_date",
+        *(
+            [
+                "title_en", "title_fr", "notes_en", "notes_fr",
+                "keywords", "topic_category", "frequency",
+            ]
+            if keep_text
+            else []
+        ),
         "spatial", "kind", "lat", "lon", "west", "south", "east", "north",
         "cell_id", "polygon_id", "tile_z", "tile_x", "tile_y",
         *(["extracted_text"] if keep_text else []),

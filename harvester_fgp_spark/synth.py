@@ -40,7 +40,13 @@ def _sentences(rng: np.random.Generator, vocab: list[str], n_words: int) -> str:
 
 
 def generate_pages(n: int, seed: int = 42) -> pd.DataFrame:
-    """FIXTURES.md §1: zipf-skewed domains, geo patterns in ~40% of rows."""
+    """FIXTURES.md §1: zipf-skewed domains, geo patterns in ~40% of rows,
+    vocab-coded metadata phrases ("topic: <code> frequency: <code>") in
+    ~30% so the E4 topic/frequency mapping is exercised end-to-end."""
+    from .operators.extract import FREQUENCIES, TOPIC_CATEGORIES
+
+    topic_keys = sorted(TOPIC_CATEGORIES)
+    freq_keys = sorted(FREQUENCIES)
     rng = np.random.default_rng(seed)
     # zipf(a=1.5) over 1000 domains — intentional skew for salted-join tests.
     dom = np.minimum(rng.zipf(1.5, size=n) - 1, 999)
@@ -64,6 +70,9 @@ def generate_pages(n: int, seed: int = 42) -> pd.DataFrame:
     )
     dlat = rng.uniform(0.05, 3.0, n)
     dlon = rng.uniform(0.05, 3.0, n)
+    has_meta = rng.random(n) < 0.30
+    topic_i = rng.integers(0, len(topic_keys), size=n)
+    freq_i = rng.integers(0, len(freq_keys), size=n)
 
     texts: list[str] = []
     titles: list[str] = []
@@ -71,6 +80,15 @@ def generate_pages(n: int, seed: int = 42) -> pd.DataFrame:
         vocab = _VOCAB_FR if lang[i] == "fr" else _VOCAB
         title = _sentences(rng, vocab, 4)
         body = _sentences(rng, vocab, int(rng.integers(20, 60)))
+        if has_meta[i]:
+            # word-boundary insertion (single-spaced) keeps E1 byte-exact
+            meta = (
+                f"topic: {topic_keys[topic_i[i]]} "
+                f"frequency: {freq_keys[freq_i[i]]}"
+            )
+            bw = body.split(" ")
+            cut = len(bw) // 4
+            body = " ".join(bw[:cut] + [meta] + bw[cut:])
         if has_geo[i]:
             if geo_is_bbox[i]:
                 w = max(-180.0, lon[i] - dlon[i])

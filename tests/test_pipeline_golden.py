@@ -29,5 +29,18 @@ def test_pipeline_matches_committed_golden(spark):
         .reset_index(drop=True)
     )
     exp = pd.read_parquet(GOLDEN)
+    for df in (got, exp):
+        df["keywords"] = df["keywords"].map(
+            lambda v: None if v is None else tuple(v)
+        )
     assert list(got.columns) == list(exp.columns)
+    # the full FIXTURES.md §3 field list must be present (round-2 gap)
+    for col in (
+        "title_en", "title_fr", "keywords", "topic_category", "frequency",
+        "crawl_date", "spatial", "cell_id", "polygon_id",
+    ):
+        assert col in got.columns, col
+    # vocab mapping is actually exercised, not all-null
+    assert got["topic_category"].notna().any()
+    assert got["frequency"].notna().any()
     pd.testing.assert_frame_equal(got, exp, check_exact=True)

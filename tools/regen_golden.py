@@ -26,6 +26,10 @@ def main() -> None:
         .sort_values(["record_id", "polygon_id"], na_position="first")
         .reset_index(drop=True)
     )
+    # list column -> tuples so the pytest frame comparison is unambiguous
+    pdf["keywords"] = pdf["keywords"].map(
+        lambda v: None if v is None else tuple(v)
+    )
     pdf.to_parquet("/root/repo/tests/golden/records_sf_small.parquet", index=False)
     print(f"regenerated golden: {len(pdf)} rows")
     spark.stop()
