@@ -51,48 +51,59 @@ def _fused_mine_match(bidx, keep_text: bool = True):
     pipeline to a single worker per task.
     """
 
+    base_cols = ["url", "warc_ts", "lang"]
+    out_cols = base_cols + (["extracted_text"] if keep_text else []) + [
+        "payload_idx", "kind", "lat", "lon", "west", "south", "east",
+        "north", "pt_lat", "pt_lon", "polygon_id",
+    ]
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         index = bidx.value
         for pdf in batches:
-            cols = ["url", "warc_ts", "lang"]
-            if keep_text:
-                cols.append("extracted_text")
-            cols += ["payload_idx", "kind", "lat", "lon",
-                     "west", "south", "east", "north"]
-            rows: dict[str, list] = {k: [] for k in cols}
-            for url, ts, lang, text, html in zip(
-                pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["text"], pdf["html"]
-            ):
-                et = (
-                    text
-                    if text is not None
-                    else (_text.extract_text(bytes(html)) if html is not None else None)
-                )
-                for j, p in enumerate(_text.mine_payloads(et)):
-                    rows["url"].append(url)
-                    rows["warc_ts"].append(ts)
-                    rows["lang"].append(lang)
-                    if keep_text:
-                        rows["extracted_text"].append(et)
-                    rows["payload_idx"].append(j)
-                    for k in ("kind", "lat", "lon", "west", "south", "east", "north"):
-                        rows[k].append(p[k])
-            out = pd.DataFrame(rows)
-            if len(out) == 0:
-                yield pd.DataFrame(
-                    {k: [] for k in (*rows, "pt_lat", "pt_lon", "polygon_id")}
-                )
+            text = pdf["text"]
+            miss = text.isna()
+            if miss.any():
+                # extraction fallback is inherently per-element (stdlib
+                # HTML parser) but runs only on rows missing text
+                text = text.copy()
+                text[miss] = [
+                    _text.extract_text(bytes(h)) if h is not None else None
+                    for h in pdf["html"][miss]
+                ]
+            # vectorized miner: flat arrays, zero per-row Python (the
+            # round-1 per-row dict loop was the measured scaling bottleneck)
+            rows_i, pidx, kind, lat, lon, west, south, east, north = (
+                _text.mine_payloads_flat(text)
+            )
+            if len(rows_i) == 0:
+                yield pd.DataFrame({k: [] for k in out_cols})
                 continue
-            is_pt = out["kind"].to_numpy() == "point"
-            out["pt_lat"] = np.where(
-                is_pt, out["lat"], (out["south"] + out["north"]) / 2.0
+            is_pt = kind == "point"
+            pt_lat = np.where(is_pt, lat, (south + north) / 2.0)
+            pt_lon = np.where(is_pt, lon, (west + east) / 2.0)
+            data: dict = {
+                "url": pdf["url"].to_numpy()[rows_i],
+                "warc_ts": pdf["warc_ts"].to_numpy()[rows_i],
+                "lang": pdf["lang"].to_numpy()[rows_i],
+            }
+            if keep_text:
+                data["extracted_text"] = text.to_numpy()[rows_i]
+            data.update(
+                payload_idx=pidx.astype(np.int32),
+                kind=kind,
+                # nullable Float64 so NaN (= no value for this payload
+                # kind) crosses Arrow as SQL NULL, matching the scalar path
+                lat=pd.array(lat, dtype="Float64"),
+                lon=pd.array(lon, dtype="Float64"),
+                west=pd.array(west, dtype="Float64"),
+                south=pd.array(south, dtype="Float64"),
+                east=pd.array(east, dtype="Float64"),
+                north=pd.array(north, dtype="Float64"),
+                pt_lat=pt_lat,
+                pt_lon=pt_lon,
             )
-            out["pt_lon"] = np.where(
-                is_pt, out["lon"], (out["west"] + out["east"]) / 2.0
-            )
-            pts_i, polys_i = index.match_points(
-                out["pt_lon"].to_numpy(), out["pt_lat"].to_numpy()
-            )
+            out = pd.DataFrame(data)
+            pts_i, polys_i = index.match_points(pt_lon, pt_lat)
             # left-join semantics identical to operators.geo.pip_join:
             # one row per (payload, polygon) match; unmatched keep None
             matched = out.iloc[pts_i].copy()

@@ -127,3 +127,36 @@ def test_batch_miner_property_random_text():
     got = T.mine_payloads_batch(pd.Series(texts))
     for text, g in zip(texts, got):
         assert g == T.mine_payloads(text), repr(text)
+
+
+def test_flat_miner_equals_scalar():
+    """mine_payloads_flat (the fused-stage hot path) == scalar oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from harvester_fgp_spark.synth import generate_pages
+
+    cases = [
+        None, "", "no geo here", "45.5, -75.5",
+        "west: 1 east: 2 south: 3 north: 4, 5.5",
+        "west: 10 east: -10 south: 0 north: 5",
+        "91.0, 10.0 45.0, 181.0",
+        "west: -80.5 east: -70.2 south: 40.1 north: 50.9 then 49.1, -100.2",
+        "1.5, 2.5 3.5, 4.5 5.5, 6.5",
+        "WEST: -1.5 EAST: 0.5 SOUTH: -2.25 NORTH: 2.5",  # case-insensitive
+    ]
+    texts = pd.Series(list(generate_pages(2000, seed=42)["text"]) + cases)
+    rows, pidx, kind, lat, lon, w, s, e, n = T.mine_payloads_flat(texts)
+    # rebuild per-row payload lists from the flat arrays
+    got: dict[int, list] = {}
+    for i in range(len(rows)):
+        def _v(x):
+            return None if np.isnan(x) else float(x)
+        got.setdefault(int(rows[i]), []).append(
+            {"kind": str(kind[i]), "lat": _v(lat[i]), "lon": _v(lon[i]),
+             "west": _v(w[i]), "south": _v(s[i]), "east": _v(e[i]),
+             "north": _v(n[i])}
+        )
+        assert pidx[i] == len(got[int(rows[i])]) - 1  # ordinal contract
+    for r, text in enumerate(texts):
+        assert got.get(r, []) == T.mine_payloads(text), f"row {r}: {text!r}"
