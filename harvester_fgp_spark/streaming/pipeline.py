@@ -62,6 +62,68 @@ def stream_tile_counts(
     ).agg(F.count("*").alias("n_payloads"))
 
 
+def stream_dedup_first_seen(pages: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): emit each url the
+    FIRST time it is ever seen across micro-batches, suppress all later
+    crawls of the same url.
+
+    This is the streaming twin of the batch W2 dedup (joins.dedup_latest):
+    a batch window can pick the latest crawl per url because it sees all
+    rows at once; a stream cannot, so per-key state carries the
+    seen-count across triggers. State is one long per url — bounded,
+    checkpointed by Structured Streaming, recovered on restart.
+
+    Scale shape: the groupBy shuffles once on url (same as any stateful
+    agg); state store size is O(distinct urls), the price of exact
+    streaming dedup — at 10^12 urls you'd shard by url hash range or trade
+    exactness for a Bloom/HLL sketch (documented seam, not implemented).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("warc_ts", TimestampType()),
+            StructField("n_seen_total", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("n_seen", LongType())])
+
+    def fn(key, pdfs, state):
+        n_prev = state.get[0] if state.exists else 0
+        first = None
+        n_new = 0
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.iloc[:1]
+            n_new += len(pdf)
+        state.update((n_prev + n_new,))
+        if n_prev == 0 and first is not None:
+            yield pd.DataFrame(
+                {
+                    "url": [key[0]],
+                    "warc_ts": first["warc_ts"].reset_index(drop=True),
+                    "n_seen_total": [n_prev + n_new],
+                }
+            )
+
+    return (
+        pages.select("url", "warc_ts")
+        .groupBy("url")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def stream_records_foreach_batch(
     spark: SparkSession,
     pages: DataFrame,

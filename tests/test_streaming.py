@@ -41,3 +41,50 @@ def test_streaming_tile_counts_matches_batch(spark, tmp_path):
         ).count()
     )
     assert got.total == exp
+
+
+def test_stateful_dedup_across_micro_batches(spark, tmp_path):
+    """applyInPandasWithState: first-seen urls emitted once, later crawls
+    of the same url suppressed even when they arrive in later batches."""
+    import pandas as pd
+
+    from harvester_fgp_spark.schemas import PAGES_SCHEMA
+    from harvester_fgp_spark.streaming.pipeline import (
+        read_pages_stream,
+        stream_dedup_first_seen,
+    )
+
+    src = str(tmp_path / "pages_src")
+
+    def _batch(urls, ts_day):
+        pdf = pd.DataFrame(
+            {
+                "url": urls,
+                "warc_ts": [pd.Timestamp(f"2024-01-{ts_day:02d}")] * len(urls),
+                "html": [None] * len(urls),
+                "text": ["x"] * len(urls),
+                "lang": ["en"] * len(urls),
+            }
+        )
+        return spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+
+    # batch 1: urls a,b,c — batch 2: b,c,d (overlap b,c)
+    _batch(["u://a", "u://b", "u://c"], 1).write.mode("overwrite").parquet(src)
+    _batch(["u://b", "u://c", "u://d"], 2).write.mode("append").parquet(src)
+
+    stream = read_pages_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stream_dedup_first_seen(stream)
+        .writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select url from first_seen").collect()
+    urls = sorted(r.url for r in rows)
+    assert urls == ["u://a", "u://b", "u://c", "u://d"]  # each exactly once
