@@ -650,6 +650,16 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, qs, k=5)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means inverted lists + multi-probe); rows-only — the
+    quantizer is iterative/Spark-ML-internal, not SQL-expressible."""
+    from harvester_fgp_spark.operators.similarity import ann_ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_ivf_topk(emb, qs, k=5)
+
+
 def _q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full E1->E2->G1->G4->G7 pipeline on synthetic pages (rows-only)."""
     from harvester_fgp_spark.plans.pipeline import mine_records, tile_summary
@@ -702,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": _q_text_analysis,
         "text_token_stats": _q_text_token_stats,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "approx_distinct_users": _q_approx_distinct,
         "polygon_tiles": _q_polygon_tiles,
         "pipeline_flagship": _q_pipeline_flagship,

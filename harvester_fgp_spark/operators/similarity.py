@@ -169,6 +169,89 @@ def lsh_buckets_udf(dim: int):
     return _buckets
 
 
+def ann_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse k-means quantizer + multi-probe.
+
+    The scale path alongside LSH: a distributed KMeans fit (Spark ML)
+    partitions the corpus into n_cells inverted lists; each query probes
+    its n_probe nearest centroids and reranks exactly within those lists.
+    Candidate generation is an equi-join on the int cell id — the cross
+    product never materializes, and the centroid table (n_cells rows) is
+    a broadcast literal, so query assignment is one narrow broadcast join.
+
+    Recall/compute knob: n_probe/n_cells (probing all cells = exact).
+    Unlike LSH's data-oblivious hyperplanes, the quantizer adapts to the
+    corpus distribution — on clustered real-world embeddings IVF recall
+    dominates at equal candidate budgets.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = vectors.sparkSession
+    vec = vectors.withColumn("_v", array_to_vector(F.col(emb_col)))
+    model = KMeans(
+        k=n_cells, seed=7, featuresCol="_v", predictionCol="_cell"
+    ).fit(vec)
+    cand = (
+        model.transform(vec)
+        .select(
+            F.col(id_col).alias("c_id"),
+            F.col(emb_col).alias("c_emb"),
+            F.col("_cell").alias("cell"),
+        )
+    )
+    ctr = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, ctr array<double>",
+    )
+    # squared L2 to each centroid, native; keep the n_probe nearest
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"), F.col("ctr"), lambda x, y: (x.cast("double") - y) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("_d2"), F.asc("cell"))
+    qs = (
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
+        )
+        .crossJoin(F.broadcast(ctr))
+        .withColumn("_d2", d2)
+        .withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= n_probe)
+        .select("q_id", "q_emb", "cell")
+    )
+    pairs = (
+        qs.join(cand, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_emb", "c_id", "c_emb")
+    )
+    ranked = pairs.withColumn(
+        "cos_sim",
+        F.round(
+            _dot("q_emb", "c_emb")
+            / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("c_emb", "c_emb"))),
+            6,
+        ),
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", "cos_sim")
+    )
+
+
 def ann_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

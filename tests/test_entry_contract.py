@@ -23,7 +23,7 @@ def test_queries_and_oracles_consistent():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "dedup_minhash", "dedup_simhash", "text_analysis",
-        "ann_lsh", "approx_distinct_users", "polygon_tiles",
+        "ann_lsh", "ann_ivf", "approx_distinct_users", "polygon_tiles",
         "pipeline_flagship",
     }
 

@@ -42,3 +42,25 @@ def test_media_meta_plumbing(spark, sf_dir):
     for r in rows:
         assert r.n_bytes is not None and r.sha is not None
         assert 1 <= r.width <= 1920 and 1 <= r.height <= 1080
+
+
+def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
+    from harvester_fgp_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk(
+        qs.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")),
+        emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")),
+        k=5,
+    )
+    approx = ann_ivf_topk(emb, qs, k=5, n_cells=8, n_probe=4)
+    exact_pairs = {(r.q_id, r.c_id) for r in exact.collect()}
+    approx_pairs = {(r.q_id, r.c_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # probing half the cells on random gaussians should beat plain LSH
+    assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
+    # full probe == exact (the IVF correctness identity)
+    full = ann_ivf_topk(emb, qs, k=5, n_cells=8, n_probe=8)
+    full_pairs = {(r.q_id, r.c_id) for r in full.collect()}
+    assert full_pairs == exact_pairs
