@@ -38,8 +38,10 @@ BENCH_QUERIES = (
     "window_top_orders",
     "rollup_orders",
     "sim_cosine_topk",
+    "sim_near_dup",
     "dedup_minhash",
     "text_analysis",
+    "tile_group_stats",
 )
 
 
