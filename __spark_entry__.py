@@ -29,6 +29,10 @@ SF0001 = "/root/testdata/sf0.001"
 
 CELL_LEVEL = 5  # coarse agg level for oracle-checked cell queries
 TILE_Z = 8
+# A4 grouped-map granularity: z=3 keeps groups FAT (dozens-to-hundreds of
+# rows), which is the shape grouped-map is for — per-group Arrow batches
+# make 1-row groups pay ~ms each (measured 15s for 5000 singleton groups)
+A4_TILE_Z = 3
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -154,7 +158,7 @@ def _q_tile_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from harvester_fgp_spark.operators.groupstats import tile_group_stats
 
     pts = D.points_from_documents(spark, sf_dir)
-    tx, ty = G.tile_cols(F.col("lon"), F.col("lat"), TILE_Z)
+    tx, ty = G.tile_cols(F.col("lon"), F.col("lat"), A4_TILE_Z)
     tiled = pts.select(
         tx.cast("long").alias("tile_x"),
         ty.cast("long").alias("tile_y"),
@@ -726,18 +730,26 @@ def oracle_sql() -> dict[str, str]:
     morton5 = morton_interleave_sql("gx", "gy", CELL_LEVEL)
     bgx0, bgy1 = D.grid_xy_sql("west", "south", CELL_LEVEL)
     bgx1, bgy0 = D.grid_xy_sql("east", "north", CELL_LEVEL)
-    n8 = float(1 << TILE_Z)
     merc = 85.05112878
-    tile_x = (
-        f"GREATEST(0, LEAST({(1 << TILE_Z) - 1}, "
-        f"CAST(FLOOR((lon + 180.0) / 360.0 * {n8}) AS BIGINT)))"
-    )
-    lat_rad = f"RADIANS(GREATEST({-merc}, LEAST({merc}, lat)))"
-    asinh_t = f"LN(TAN({lat_rad}) + SQRT(TAN({lat_rad}) * TAN({lat_rad}) + 1.0))"
-    tile_y = (
-        f"GREATEST(0, LEAST({(1 << TILE_Z) - 1}, "
-        f"CAST(FLOOR((1.0 - {asinh_t} / PI()) / 2.0 * {n8}) AS BIGINT)))"
-    )
+
+    def _tile_sql(z: int) -> tuple[str, str]:
+        n = float(1 << z)
+        tx = (
+            f"GREATEST(0, LEAST({(1 << z) - 1}, "
+            f"CAST(FLOOR((lon + 180.0) / 360.0 * {n}) AS BIGINT)))"
+        )
+        lat_rad = f"RADIANS(GREATEST({-merc}, LEAST({merc}, lat)))"
+        asinh_t = (
+            f"LN(TAN({lat_rad}) + SQRT(TAN({lat_rad}) * TAN({lat_rad}) + 1.0))"
+        )
+        ty = (
+            f"GREATEST(0, LEAST({(1 << z) - 1}, "
+            f"CAST(FLOOR((1.0 - {asinh_t} / PI()) / 2.0 * {n}) AS BIGINT)))"
+        )
+        return tx, ty
+
+    tile_x, tile_y = _tile_sql(TILE_Z)
+    a4_tile_x, a4_tile_y = _tile_sql(A4_TILE_Z)
     hav = (
         "2.0 * 6371.0088 * ATAN2(SQRT("
         "POW(SIN((RADIANS({lat2}) - RADIANS({lat1})) / 2), 2) "
@@ -839,7 +851,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_group_stats": f"""
             WITH pts AS ({pts}),
             tiled AS (
-                SELECT {tile_x} AS tile_x, {tile_y} AS tile_y, lat, lon
+                SELECT {a4_tile_x} AS tile_x, {a4_tile_y} AS tile_y, lat, lon
                 FROM pts
             )
             SELECT tile_x, tile_y, COUNT(*) AS n_points,

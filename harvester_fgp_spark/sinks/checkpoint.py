@@ -134,6 +134,57 @@ def write_stream_batch(
         tiled.unpersist()
 
 
+def verify_lineage(
+    spark: SparkSession,
+    out_dir: str,
+    checkpoint_dir: str,
+    stage: str = "records",
+) -> DataFrame:
+    """Audit: recompute per-tile row counts + fingerprints from the parquet
+    actually on disk and anti-check them against the committed lineage.
+
+    Returns the DISCREPANCY frame — empty means every committed tile's
+    bytes reproduce its commit marker (the resume-trust invariant). Tiles
+    are compared at tile grain (lineage rows are per (partition, tile);
+    they are re-aggregated here because the on-disk layout no longer knows
+    producing partitions).
+    """
+    written = (
+        spark.read.parquet(out_dir)
+        .groupBy("tile_id")
+        .agg(
+            F.count("*").alias("disk_rows"),
+            F.format_string(
+                "%016x", F.bit_xor(F.xxhash64(F.col("record_id")))
+            ).alias("disk_fp"),
+        )
+    )
+    committed = (
+        spark.read.parquet(checkpoint_dir)
+        .filter(F.col("stage") == stage)
+        .groupBy("tile_id")
+        .agg(
+            F.sum("row_count").alias("cp_rows"),
+            # xor of per-partition xors == xor over the whole tile;
+            # conv(..., 16, -10) keeps the high-bit patterns signed so the
+            # long cast cannot overflow
+            F.bit_xor(F.conv(F.col("input_fingerprint"), 16, -10).cast("long"))
+            .alias("cp_fp_long"),
+        )
+        .withColumn("cp_fp", F.format_string("%016x", F.col("cp_fp_long")))
+        .drop("cp_fp_long")
+    )
+    return (
+        written.join(committed, "tile_id", "full")
+        .filter(
+            (F.col("disk_rows") != F.col("cp_rows"))
+            | (F.col("disk_fp") != F.col("cp_fp"))
+            | F.col("disk_rows").isNull()
+            | F.col("cp_rows").isNull()
+        )
+    )
+
+
 def completed_tiles(spark: SparkSession, checkpoint_dir: str, stage: str = "records") -> DataFrame:
     try:
         cp = spark.read.parquet(checkpoint_dir)

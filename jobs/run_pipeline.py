@@ -31,6 +31,18 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--run-id", required=True)
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--quarantine",
+        default=None,
+        help="optional parquet path for invalid pages (P2: the reference's "
+        "report-and-skip behavior as a queryable errors table)",
+    )
+    p.add_argument(
+        "--verify-lineage",
+        action="store_true",
+        help="after the write, audit on-disk tiles against the checkpoint "
+        "table (row counts + fingerprints) and fail on any discrepancy",
+    )
     p.add_argument("--cell-level", type=int, default=12)
     p.add_argument("--tile-z", type=int, default=8)
     p.add_argument("--snapshot-id", type=int, default=None)
@@ -48,6 +60,11 @@ def main(argv: list[str]) -> None:
 
     spark = build_session(app_name=f"hfs-pipeline-{args.run_id}")
     pages = read_pages(spark, args.pages, snapshot_id=args.snapshot_id)
+    if args.quarantine:
+        from harvester_fgp_spark.operators.extract import split_valid
+
+        _, bad = split_valid(pages)
+        bad.write.mode("overwrite").parquet(args.quarantine)
     if args.polygons.startswith("synth:"):
         ppdf = generate_polygons(int(args.polygons.split(":", 1)[1]), seed=42)
     else:
@@ -63,6 +80,13 @@ def main(argv: list[str]) -> None:
     C.write_records_and_checkpoint(
         records, args.out, args.checkpoint, run_id=args.run_id
     )
+    if args.verify_lineage:
+        bad_tiles = C.verify_lineage(spark, args.out, args.checkpoint)
+        n_bad = bad_tiles.count()
+        if n_bad:
+            bad_tiles.show(20, truncate=False)
+            raise SystemExit(f"lineage verification FAILED for {n_bad} tiles")
+        print("lineage verified: disk == checkpoint for all tiles")
     spark.stop()
 
 

@@ -73,3 +73,22 @@ def test_rerun_tile_is_idempotent(spark, tmp_path):
     final = spark.read.parquet(out)
     # dynamic partition overwrite: replay does not duplicate rows
     assert final.count() == slice1.count()
+
+
+def test_verify_lineage_detects_tampering(spark, tmp_path):
+    """S5 audit: clean write verifies; a tampered tile is flagged."""
+    import shutil
+    from pathlib import Path
+
+    out = str(tmp_path / "records")
+    cp = str(tmp_path / "checkpoint")
+    records = _records(spark)
+    C.write_records_and_checkpoint(records, out, cp, run_id="audit")
+    assert C.verify_lineage(spark, out, cp).count() == 0
+
+    # tamper: drop one tile's data directory entirely
+    tile_dirs = sorted(p for p in Path(out).iterdir() if p.name.startswith("tile_id="))
+    assert len(tile_dirs) >= 2
+    shutil.rmtree(tile_dirs[0])
+    bad = C.verify_lineage(spark, out, cp)
+    assert bad.count() >= 1  # the deleted tile shows as a discrepancy
