@@ -470,6 +470,57 @@ def _q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 breadth: ntile/percent_rank/cume_dist (exact integer-ratio
+    divisions — engine-identical without rounding)."""
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 breadth: explicit GROUPING SETS via Spark SQL."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def _q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J breadth: full outer join with one-sided nations on both sides."""
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < -800.0)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        _read(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < -800.0)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cust.join(supp, "nationkey", "full").select(
+        "nationkey",
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
 def _q_date_trunc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     orders = _read(spark, sf_dir, "orders")
@@ -706,6 +757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect_custkeys": _q_set_intersect,
         "array_agg_sorted": _q_array_agg_sorted,
         "date_trunc_monthly": _q_date_trunc_monthly,
+        "window_ntile": _q_window_ntile,
+        "grouping_sets_orders": _q_grouping_sets,
+        "join_full_outer_nations": _q_join_full_outer,
         "sim_near_dup": _q_sim_near_dup,
         "salted_join_users": _q_salted_join_users,
         "asof_join_events": _q_asof_join,
@@ -1026,6 +1080,38 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
             FROM orders GROUP BY 1
+        """,
+        "window_ntile": """
+            SELECT o_orderkey, o_orderstatus,
+                   NTILE(4) OVER w AS quartile,
+                   PERCENT_RANK() OVER w AS pct_rank,
+                   CUME_DIST() OVER w AS cume
+            FROM orders
+            WINDOW w AS (
+                PARTITION BY o_orderstatus
+                ORDER BY o_totalprice DESC, o_orderkey ASC
+            )
+        """,
+        "grouping_sets_orders": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "join_full_outer_nations": """
+            WITH cust AS (
+                SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+                FROM customer WHERE c_acctbal < -800.0 GROUP BY 1
+            ),
+            supp AS (
+                SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+                FROM supplier WHERE s_acctbal < -800.0 GROUP BY 1
+            )
+            SELECT COALESCE(cust.nationkey, supp.nationkey) AS nationkey,
+                   COALESCE(n_cust, 0) AS n_cust,
+                   COALESCE(n_supp, 0) AS n_supp
+            FROM cust FULL OUTER JOIN supp USING (nationkey)
         """,
         "sim_near_dup": """
             SELECT a.vec_id AS ia, b.vec_id AS ib,
