@@ -683,6 +683,12 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lang-ID + quality + token kernels, oracle-EXACT (round 2): the
+    DuckDB twin re-derives detect_lang and quality_score longhand in SQL
+    (stopword list_filter hits, argmax with the kernel's tie order, the
+    same exactly-rounded float ops), and the quality aggregate sums
+    micro-units (round(q*1e6) as long) so no float accumulation order can
+    differ between engines."""
     from harvester_fgp_spark.operators.textops import with_text_analysis
 
     docs = _read(spark, sf_dir, "documents")
@@ -691,8 +697,10 @@ def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "detected_lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("quality"), 4).alias("avg_quality"),
-            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum(F.round(F.col("quality") * 1e6).cast("long")).alias(
+                "sum_quality_micro"
+            ),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
         )
     )
 
@@ -775,6 +783,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_tiles": _q_polygon_tiles,
         "pipeline_flagship": _q_pipeline_flagship,
     }
+
+
+def _text_analysis_oracle() -> str:
+    """DuckDB longhand for the detect_lang + quality_score + token kernels
+    (functions/text.py). Exactness notes: the driver documents are ASCII
+    (verified), so RE2's ASCII \\w matches Python's unicode \\w here; all
+    float ops are single exactly-rounded IEEE ops in the kernel's order;
+    ties in the lang argmax resolve in the kernel's dict order en,fr,es,de."""
+    from harvester_fgp_spark.functions.text import _STOPWORDS
+
+    def lst(ss):
+        return ", ".join("'" + s.replace("'", "''") + "'" for s in sorted(ss))
+
+    en, fr, es, de = (lst(_STOPWORDS[k]) for k in ("en", "fr", "es", "de"))
+    sw_union = lst(_STOPWORDS["en"] | _STOPWORDS["fr"])
+    token_re = r"[a-zA-ZÀ-ɏ]+|\d+|[^\sa-zA-Z\d]"
+    return f"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   length(text) AS n,
+                   regexp_extract_all(lower(text), '[a-zà-ɏ]+') AS words,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                   len(regexp_extract_all(text, '{token_re}')) AS n_tokens
+            FROM documents
+        ),
+        m AS (
+            SELECT *, list_slice(words, 1, 500) AS w500, len(words) AS nw,
+                   CASE WHEN len(words) = 0 THEN 0.0
+                        ELSE CAST(list_sum(list_transform(words, w -> len(w)))
+                             AS DOUBLE) / len(words) END AS mwl,
+                   len(list_filter(words, x -> x IN ({sw_union}))) AS sw_hits
+            FROM base
+        ),
+        hits AS (
+            SELECT *, len(w500) AS nw500,
+                   len(list_filter(w500, x -> x IN ({en}))) AS h_en,
+                   len(list_filter(w500, x -> x IN ({fr}))) AS h_fr,
+                   len(list_filter(w500, x -> x IN ({es}))) AS h_es,
+                   len(list_filter(w500, x -> x IN ({de}))) AS h_de
+            FROM m
+        ),
+        scored AS (
+            SELECT lang, n_tokens,
+                   CASE
+                     WHEN nw500 = 0 OR GREATEST(h_en, h_fr, h_es, h_de)
+                          < GREATEST(2, nw500 // 50) THEN 'und'
+                     WHEN h_en >= h_fr AND h_en >= h_es AND h_en >= h_de THEN 'en'
+                     WHEN h_fr >= h_es AND h_fr >= h_de THEN 'fr'
+                     WHEN h_es >= h_de THEN 'es'
+                     ELSE 'de'
+                   END AS detected_lang,
+                   CASE WHEN nw = 0 THEN 0.0 ELSE
+                   ROUND((
+                       LEAST(1.0, n / 1000.0)
+                       + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0
+                               THEN 1.0 ELSE 0.5 END)
+                       + (CASE WHEN n_punct / CAST(n AS DOUBLE) < 0.1 THEN 1.0
+                               ELSE GREATEST(0.0, 1.0 - n_punct / CAST(n AS DOUBLE))
+                          END)
+                       + LEAST(1.0, (sw_hits / CAST(nw AS DOUBLE)) * 4.0)
+                   ) / 4.0, 6) END AS quality
+            FROM hits
+        )
+        SELECT lang, detected_lang, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(ROUND(quality * 1000000) AS BIGINT)) AS BIGINT)
+                   AS sum_quality_micro,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM scored GROUP BY 1, 2
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1188,6 +1265,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.9
         """,
+        "text_analysis": _text_analysis_oracle(),
         "text_token_stats": r"""
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM(len(regexp_extract_all(
@@ -1195,8 +1273,8 @@ def oracle_sql() -> dict[str, str]:
                    ))) AS BIGINT) AS sum_bpe_tokens
             FROM documents GROUP BY lang
         """,
-        # dedup_minhash / dedup_simhash / text_analysis /
-        # ann_lsh / approx_distinct_users / polygon_tiles /
-        # pipeline_flagship: non-SQL-expressible (hash kernels, pandas-UDF
+        # dedup_minhash / dedup_simhash / ann_lsh / ann_ivf /
+        # approx_distinct_users / polygon_tiles / pipeline_flagship:
+        # non-SQL-expressible (hash kernels, iterative k-means, pandas-UDF
         # mining, HLL sketch internals) -> rows-only driver check by design.
     }

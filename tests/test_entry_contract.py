@@ -22,7 +22,7 @@ def test_queries_and_oracles_consistent():
     # non-SQL ops are the documented exceptions
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "dedup_minhash", "dedup_simhash", "text_analysis",
+        "dedup_minhash", "dedup_simhash",
         "ann_lsh", "ann_ivf", "approx_distinct_users", "polygon_tiles",
         "pipeline_flagship",
     }
