@@ -291,6 +291,7 @@ def knn_join(
     prefix_level: int = 4,
     broadcast_candidates: bool = True,
     expand_underfilled: bool = True,
+    salt: int | None = None,
 ) -> DataFrame:
     """G5: k nearest candidates per query point.
 
@@ -309,20 +310,29 @@ def knn_join(
     Contract: `broadcast_candidates=True` (the default) is only valid for
     dimension-sized candidate sets (e.g. collection centroids, <= a few
     hundred MB serialized). For large-x-large kNN pass False — the prefix
-    equi-join then plans as a shuffled SMJ/SHJ, which is the 10^12 shape.
+    equi-join then plans as a shuffled SMJ/SHJ, which is the 10^12 shape —
+    and pass `salt` (from joins.choose_salt_factor over the prefix column)
+    when the cell histogram is skewed: dense urban prefixes are exactly
+    the hot-key case J7 exists for, and AQE's skew split cannot divide a
+    single hot KEY across tasks.
     """
     from pyspark.sql.window import Window
+
+    from .joins import salted_join
 
     def _pass(pfx_level: int, qs: DataFrame) -> DataFrame:
         q = qs.withColumn(
             "_pfx", cell_parent_col(F.col("cell_id"), level, pfx_level)
-        )
+        ).drop("cell_id")
         c = candidates.withColumn(
             "_pfx", cell_parent_col(F.col("cell_id"), level, pfx_level)
         ).drop("cell_id")
         if broadcast_candidates:
-            c = F.broadcast(c)
-        return q.drop("cell_id").join(c, "_pfx").drop("_pfx")
+            return q.join(F.broadcast(c), "_pfx").drop("_pfx")
+        if salt and salt > 1:
+            # probe = queries (skewed on dense prefixes), build = candidates
+            return salted_join(q, c, "_pfx", salt=salt).drop("_pfx")
+        return q.join(c, "_pfx").drop("_pfx")
 
     pairs = _pass(prefix_level, queries)
     if expand_underfilled and prefix_level >= 2:
