@@ -63,8 +63,16 @@ def run_at(cpus: int) -> dict:
 
 
 def main() -> None:
-    r8 = max((run_at(N_LOW) for _ in range(N_ATTEMPTS)), key=lambda r: r["value"])
-    r32 = max((run_at(N_HIGH) for _ in range(N_ATTEMPTS)), key=lambda r: r["value"])
+    # INTERLEAVE attempts (L,H,L,H) instead of L,L,H,H: host noise is
+    # time-correlated over multi-minute windows, so grouping a level's
+    # attempts lets one noisy window depress that whole level; alternating
+    # gives both levels the same exposure before best-of selection.
+    lows, highs = [], []
+    for _ in range(N_ATTEMPTS):
+        lows.append(run_at(N_LOW))
+        highs.append(run_at(N_HIGH))
+    r8 = max(lows, key=lambda r: r["value"])
+    r32 = max(highs, key=lambda r: r["value"])
     tp8, tp32 = r8["value"], r32["value"]
     eff = tp32 / (4 * tp8)
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
