@@ -470,6 +470,36 @@ def _q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json family breadth: from_json (schema'd struct parse) + to_json
+    (struct serialization; compact key:value format matches DuckDB's
+    json_object rendering byte-for-byte)."""
+    from pyspark.sql.types import IntegerType, StructField as SF, StructType as ST
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    parsed = F.from_json("props", ST([SF("k", IntegerType())]))
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        F.to_json(F.struct("user_id", "event_type")).alias("js"),
+    )
+
+
+def _q_array_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array family breadth as DATA: collect -> sort -> filter (lambda) ->
+    slice -> transform (printf) -> join, all native higher-order funcs."""
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    arr = F.array_sort(F.collect_list("o_totalprice"))
+    big = F.filter(arr, lambda x: x > 150000.0)
+    return orders.groupBy("o_custkey").agg(
+        F.size(big).cast("long").alias("n_big"),
+        F.concat_ws(
+            ",",
+            F.transform(F.slice(big, 1, 5), lambda x: F.format_string("%.2f", x)),
+        ).alias("top_big"),
+    )
+
+
 def _q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 breadth: ntile/percent_rank/cume_dist (exact integer-ratio
     divisions — engine-identical without rounding)."""
@@ -766,6 +796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_agg_sorted": _q_array_agg_sorted,
         "date_trunc_monthly": _q_date_trunc_monthly,
         "window_ntile": _q_window_ntile,
+        "json_roundtrip": _q_json_roundtrip,
+        "array_pipeline_orders": _q_array_pipeline,
         "grouping_sets_orders": _q_grouping_sets,
         "join_full_outer_nations": _q_join_full_outer,
         "sim_near_dup": _q_sim_near_dup,
@@ -1168,6 +1200,26 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY o_orderstatus
                 ORDER BY o_totalprice DESC, o_orderkey ASC
             )
+        """,
+        "json_roundtrip": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+                   CAST(json_object('user_id', user_id,
+                                    'event_type', event_type) AS VARCHAR) AS js
+            FROM events WHERE event_id < 500
+        """,
+        "array_pipeline_orders": """
+            SELECT o_custkey,
+                   CAST(len(list_filter(list_sort(list(o_totalprice)),
+                                        x -> x > 150000.0)) AS BIGINT) AS n_big,
+                   array_to_string(
+                       list_transform(
+                           list_filter(list_sort(list(o_totalprice)),
+                                       x -> x > 150000.0)[1:5],
+                           x -> printf('%.2f', x)
+                       ), ','
+                   ) AS top_big
+            FROM orders WHERE o_custkey < 300 GROUP BY o_custkey
         """,
         "grouping_sets_orders": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
