@@ -682,6 +682,27 @@ def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs.unionByName(dup), threshold=0.9)
 
 
+def _q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span detection: corpus = documents + word-shifted copies,
+    so each doc shares its overlap windows with its shifted twin. Oracle-
+    exact via the gram-string twin (xxhash64 is an injective stand-in,
+    same argument as dedup_ngram)."""
+    from harvester_fgp_spark.operators.dedup import duplicate_span_counts
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    shifted = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 6, 100000)).alias(
+            "text"
+        ),
+    )
+    return duplicate_span_counts(docs.unionByName(shifted), n_tokens=20)
+
+
 def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting graduated to an exact oracle: the Python
     regex kernel (textops.token_count_udf) vs DuckDB regexp_extract_all
@@ -807,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram": _q_dedup_ngram,
+        "dedup_spans": _q_dedup_spans,
         "text_analysis": _q_text_analysis,
         "text_token_stats": _q_text_token_stats,
         "ann_lsh": _q_ann_lsh,
@@ -1316,6 +1338,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.9
+        """,
+        "dedup_spans": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 150
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id,
+                       array_to_string(
+                           string_split(text, ' ')[6:len(string_split(text, ' '))],
+                           ' ') AS text
+                FROM documents WHERE doc_id < 150
+            ),
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+            occ AS (
+                SELECT doc_id, array_to_string(ws[i:i+19], ' ') AS g
+                FROM w, UNNEST(range(1, len(ws) - 20 + 2)) AS t(i)
+                WHERE len(ws) >= 20
+            ),
+            dup AS (SELECT g FROM occ GROUP BY g HAVING COUNT(*) >= 2),
+            dupc AS (
+                SELECT doc_id, COUNT(*) AS n_dup_windows
+                FROM occ WHERE g IN (SELECT g FROM dup) GROUP BY doc_id
+            ),
+            tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM occ GROUP BY doc_id)
+            SELECT tot.doc_id, n_windows,
+                   COALESCE(n_dup_windows, 0) AS n_dup_windows
+            FROM tot LEFT JOIN dupc ON tot.doc_id = dupc.doc_id
         """,
         "text_analysis": _text_analysis_oracle(),
         "text_token_stats": r"""

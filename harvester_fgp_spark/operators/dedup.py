@@ -166,6 +166,66 @@ def minhash_near_dup_pairs(
     )
 
 
+def duplicate_span_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens: int = 20,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Repeated-span detection (exact substring dedup, re-expressed
+    Spark-first): per document, how many of its n_tokens-word windows
+    also occur elsewhere in the corpus.
+
+    The suffix-array formulation of train-data span dedup doesn't
+    distribute; the equivalent corpus-scale shape is a rolling window
+    hash: every document emits one xxhash64 per token window (native
+    transform/sequence/slice — no Python), repeated windows fall out of
+    one groupBy on the hash, and a second equi-join attributes them back
+    to documents. Cost is O(total tokens) rows through two shuffles on an
+    8-byte key — no text leaves the scan stage.
+
+    Output: (id, n_windows, n_dup_windows) per document that has >= 1
+    window; callers drop or trim documents above a duplication ratio.
+    """
+    w = F.split(F.col(text_col), " ")
+    occ = (
+        docs.filter(F.size(w) >= n_tokens)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - n_tokens),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(w, i + 1, n_tokens))
+                    ),
+                )
+            ).alias("wh"),
+        )
+    )
+    dup = (
+        occ.groupBy("wh")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_occurrences)
+        .select("wh")
+    )
+    return (
+        occ.join(dup, "wh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_windows"))
+        .join(
+            occ.groupBy(id_col).agg(F.count("*").alias("n_windows")),
+            id_col,
+            "right",
+        )
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        )
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

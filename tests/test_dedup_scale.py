@@ -103,3 +103,28 @@ def test_exact_near_dup_plan_has_no_nested_loop(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_duplicate_span_counts_finds_planted_repeats(spark):
+    from harvester_fgp_spark.operators.dedup import duplicate_span_counts
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(500)]
+    span = " ".join(f"S{i}" for i in range(20))  # the planted 20-token span
+    rows = []
+    for d in range(10):
+        body = " ".join(rng.choice(vocab, size=50).tolist())
+        # docs 0-3 embed the SAME span mid-document; 4-9 are clean
+        text = f"{body} {span} {body}" if d < 4 else f"{body} {body}"
+        rows.append({"doc_id": d, "text": text})
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    out = {r.doc_id: r for r in duplicate_span_counts(docs, n_tokens=20).collect()}
+    assert len(out) == 10
+    for d in range(4):
+        assert out[d].n_dup_windows >= 1, f"doc {d} planted span missed"
+    # clean docs share no 20-token window with anything else... except
+    # their own internal body repeat (body appears twice in-doc) — windows
+    # fully inside one body copy repeat within the doc, so expect > 0 there
+    # too; what MUST hold: planted docs share the span across docs
+    span_docs = sum(1 for d in range(4) if out[d].n_dup_windows > 0)
+    assert span_docs == 4
