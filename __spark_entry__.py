@@ -623,6 +623,26 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling summary — the deterministic fake container makes
+    frame counts and byte totals oracle-checkable (n_frames = n_bytes%7+1,
+    frame j = byte slice [j*step, (j+1)*step), step = n_bytes//n_frames)."""
+    from harvester_fgp_spark.operators.multimodal import sample_frames
+
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    frames = sample_frames(media)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.length("frame_payload")).cast("long").alias("sum_frame_bytes"),
+        F.max("ts_ms").alias("max_ts_ms"),
+    )
+
+
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: blob -> typed metadata via mapInPandas; the
     deterministic decode fake makes even the Python boundary oracle-checkable."""
@@ -825,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_users": _q_salted_join_users,
         "asof_join_events": _q_asof_join,
         "media_meta": _q_media_meta,
+        "media_frames": _q_media_frames,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram": _q_dedup_ngram,
@@ -1302,6 +1323,22 @@ def oracle_sql() -> dict[str, str]:
                 WHERE event_type = 'click'
             ) c
             ON e.user_id = c.user_id AND e.ts >= c.click_ts
+        """,
+        "media_frames": """
+            WITH m AS (
+                SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+                FROM documents
+            ),
+            f AS (
+                SELECT media_id, n, n % 7 + 1 AS n_frames,
+                       GREATEST(1, n // (n % 7 + 1)) AS step
+                FROM m
+            )
+            SELECT media_id,
+                   CAST(n_frames AS BIGINT) AS n_frames,
+                   CAST(LEAST(n, n_frames * step) AS BIGINT) AS sum_frame_bytes,
+                   CAST((n_frames - 1) * 1000 AS BIGINT) AS max_ts_ms
+            FROM f
         """,
         "media_meta": """
             SELECT doc_id AS media_id,

@@ -6,9 +6,10 @@ struct. The decode/feature kernels are STUBS behind a clearly-marked seam
 everything Spark-side is real and tested: schema, Arrow batch shape,
 mapInPandas signature, bounded batch sizing for large blobs.
 
-Production note: set spark.sql.execution.arrow.maxRecordsPerBatch low
-(session.py uses 4096) when blob columns ride through mapInPandas —
-batch bytes, not batch rows, are what OOMs a Python worker.
+Production note: bound spark.sql.execution.arrow.maxRecordsPerBatch
+(session.py uses 16384, sized for ~KB text payloads) when blob columns
+ride through mapInPandas — batch bytes, not batch rows, are what OOMs a
+Python worker; for multi-MB media blobs drop it to a few hundred.
 """
 
 from __future__ import annotations
@@ -89,3 +90,124 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
             ]
 
     return narrow.mapInPandas(_decode, MEDIA_META_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", LongType(), False),
+        StructField("frame_payload", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: ONE blob row -> MANY frame rows (mapInPandas;
+    a scalar UDF can't change cardinality).
+
+    Decode seam is stubbed like _decode_image: the fake "container" holds
+    ``n_bytes % 7 + 1`` frames and each frame's payload is that frame's
+    contiguous byte slice — deterministic, so frame counts and sizes are
+    oracle-checkable while the real-decoder swap point stays obvious.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, pls = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                b = bytes(p)
+                n_frames = len(b) % 7 + 1
+                step = max(1, len(b) // n_frames)
+                for j in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(j)
+                    tss.append(j * frame_ms)
+                    pls.append(b[j * step : (j + 1) * step])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "ts_ms": pd.array(tss, dtype="Int64"),
+                    "frame_payload": pd.Series(pls, dtype=object),
+                }
+            )
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "payload"
+    ).mapInPandas(_frames, FRAME_SCHEMA)
+
+
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize seam: blob -> (blob', width, height) via mapInPandas.
+
+    Real decoder would be PIL resize; the fake keeps the first
+    width*height//64 bytes (deterministic) so downstream plumbing —
+    schema, binary round trip, partitioning — is testable.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+        ]
+    )
+    keep = max(1, width * height // 64)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["media_id"]].copy()
+            out["payload"] = [
+                None if p is None else bytes(p)[:keep] for p in pdf["payload"]
+            ]
+            out["width"] = pd.array([width] * len(pdf), dtype="Int32")
+            out["height"] = pd.array([height] * len(pdf), dtype="Int32")
+            yield out
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(_resize, out_schema)
+
+
+def embed_media(media: DataFrame, dim: int = 64) -> DataFrame:
+    """Feature-extraction seam: blob -> embedding array<float>.
+
+    The fake derives a unit vector from the blob's sha256 (numpy PCG
+    seeded by the digest) — deterministic per payload, so identical blobs
+    embed identically and the output feeds the REAL similarity operators
+    (cosine_topk / ann_lsh / ann_ivf / exact_near_dup_pairs) end-to-end;
+    tests/test_multimodal_chain.py drives that chain.
+    """
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.types import ArrayType, FloatType
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for p in pdf["payload"]:
+                if p is None:
+                    embs.append(None)
+                    continue
+                seed = int.from_bytes(
+                    hashlib.sha256(bytes(p)).digest()[:8], "big"
+                )
+                v = np.random.default_rng(seed).standard_normal(dim)
+                v = (v / np.linalg.norm(v)).astype(np.float32)
+                embs.append(v.tolist())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "embedding": embs}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_embed, out_schema)
