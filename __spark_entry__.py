@@ -702,6 +702,35 @@ def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs.unionByName(dup), threshold=0.9)
 
 
+def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data cleaning composite: exact dedup (keep
+    lowest id per identical text, one shuffle) -> lang-ID + quality gates
+    -> token accounting. Oracle-exact end to end (reuses the longhand
+    kernel SQL over a deduped source CTE)."""
+    from harvester_fgp_spark.operators.textops import with_text_analysis
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 10000)
+    corpus = docs.unionByName(dup)
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    kept = (
+        corpus.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    scored = with_text_analysis(kept)
+    clean = scored.filter(
+        (F.col("detected_lang") != "und") & (F.col("quality") >= 0.4)
+    )
+    return clean.groupBy("lang", "detected_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.round(F.col("quality") * 1e6).cast("long")).alias(
+            "sum_quality_micro"
+        ),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
 def _q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span detection: corpus = documents + word-shifted copies,
     so each doc shares its overlap windows with its shifted twin. Oracle-
@@ -850,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_spans": _q_dedup_spans,
+        "corpus_clean": _q_corpus_clean,
         "text_analysis": _q_text_analysis,
         "text_token_stats": _q_text_token_stats,
         "ann_lsh": _q_ann_lsh,
@@ -860,12 +890,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _text_analysis_oracle() -> str:
+def _text_analysis_oracle(
+    source: str = "SELECT doc_id, lang, text FROM documents",
+    final_select: str | None = None,
+) -> str:
     """DuckDB longhand for the detect_lang + quality_score + token kernels
     (functions/text.py). Exactness notes: the driver documents are ASCII
     (verified), so RE2's ASCII \\w matches Python's unicode \\w here; all
     float ops are single exactly-rounded IEEE ops in the kernel's order;
-    ties in the lang argmax resolve in the kernel's dict order en,fr,es,de."""
+    ties in the lang argmax resolve in the kernel's dict order en,fr,es,de.
+
+    `source`: relation providing (doc_id, lang, text). `final_select`:
+    override the trailing SELECT over the `scored` CTE (which exposes
+    lang, detected_lang, quality, n_tokens)."""
     from harvester_fgp_spark.functions.text import _STOPWORDS
 
     def lst(ss):
@@ -874,6 +911,14 @@ def _text_analysis_oracle() -> str:
     en, fr, es, de = (lst(_STOPWORDS[k]) for k in ("en", "fr", "es", "de"))
     sw_union = lst(_STOPWORDS["en"] | _STOPWORDS["fr"])
     token_re = r"[a-zA-ZÀ-ɏ]+|\d+|[^\sa-zA-Z\d]"
+    if final_select is None:
+        final_select = """
+        SELECT lang, detected_lang, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(ROUND(quality * 1000000) AS BIGINT)) AS BIGINT)
+                   AS sum_quality_micro,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM scored GROUP BY 1, 2
+        """
     return f"""
         WITH base AS (
             SELECT doc_id, lang,
@@ -881,7 +926,7 @@ def _text_analysis_oracle() -> str:
                    regexp_extract_all(lower(text), '[a-zà-ɏ]+') AS words,
                    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
                    len(regexp_extract_all(text, '{token_re}')) AS n_tokens
-            FROM documents
+            FROM ({source})
         ),
         m AS (
             SELECT *, list_slice(words, 1, 500) AS w500, len(words) AS nw,
@@ -921,11 +966,7 @@ def _text_analysis_oracle() -> str:
                    ) / 4.0, 6) END AS quality
             FROM hits
         )
-        SELECT lang, detected_lang, COUNT(*) AS n_docs,
-               CAST(SUM(CAST(ROUND(quality * 1000000) AS BIGINT)) AS BIGINT)
-                   AS sum_quality_micro,
-               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
-        FROM scored GROUP BY 1, 2
+        {final_select}
     """
 
 
@@ -1403,6 +1444,30 @@ def oracle_sql() -> dict[str, str]:
             FROM tot LEFT JOIN dupc ON tot.doc_id = dupc.doc_id
         """,
         "text_analysis": _text_analysis_oracle(),
+        "corpus_clean": _text_analysis_oracle(
+            source="""
+                SELECT doc_id, lang, text FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY text ORDER BY doc_id
+                    ) AS rn
+                    FROM (
+                        SELECT doc_id, lang, text FROM documents
+                        UNION ALL
+                        SELECT doc_id + 10000 AS doc_id, lang, text
+                        FROM documents
+                    )
+                ) WHERE rn = 1
+            """,
+            final_select="""
+                SELECT lang, detected_lang, COUNT(*) AS n_docs,
+                       CAST(SUM(CAST(ROUND(quality * 1000000) AS BIGINT))
+                            AS BIGINT) AS sum_quality_micro,
+                       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+                FROM scored
+                WHERE detected_lang != 'und' AND quality >= 0.4
+                GROUP BY 1, 2
+            """,
+        ),
         "text_token_stats": r"""
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM(len(regexp_extract_all(
