@@ -623,6 +623,33 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 forward direction: earliest subsequent click per error event
+    (vs DuckDB's native forward ASOF, e.ts <= c.click_ts)."""
+    from harvester_fgp_spark.operators.joins import asof_join
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), "value"
+    )
+    out = asof_join(
+        errors, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        value_cols=["value", "click_ts"], direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_value").alias("next_click_value"),
+        F.date_format("asof_click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "next_click_ts_s"
+        ),
+    )
+
+
 def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling summary — the deterministic fake container makes
     frame counts and byte totals oracle-checkable (n_frames = n_bytes%7+1,
@@ -873,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup": _q_sim_near_dup,
         "salted_join_users": _q_salted_join_users,
         "asof_join_events": _q_asof_join,
+        "asof_join_forward": _q_asof_join_forward,
         "media_meta": _q_media_meta,
         "media_frames": _q_media_frames,
         "dedup_minhash": _q_dedup_minhash,
@@ -1364,6 +1392,20 @@ def oracle_sql() -> dict[str, str]:
                 WHERE event_type = 'click'
             ) c
             ON e.user_id = c.user_id AND e.ts >= c.click_ts
+        """,
+        "asof_join_forward": """
+            SELECT e.event_id, e.user_id,
+                   c.value AS next_click_value,
+                   strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS next_click_ts_s
+            FROM (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'error'
+            ) e
+            ASOF LEFT JOIN (
+                SELECT user_id, ts AS click_ts, value FROM events
+                WHERE event_type = 'click'
+            ) c
+            ON e.user_id = c.user_id AND e.ts <= c.click_ts
         """,
         "media_frames": """
             WITH m AS (

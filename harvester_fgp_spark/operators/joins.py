@@ -90,18 +90,27 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     how: str = "left",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """J8: as-of join — for each left row, the latest right row with
-    right_ts <= left_ts per key.
+    """J8: as-of join — for each left row, the closest right row per key:
+    latest with right_ts <= left_ts (``direction='backward'``, default) or
+    earliest with right_ts >= left_ts (``'forward'``). With ``tolerance``
+    (an INTERVAL string, e.g. ``'2 hours'``), matches farther than that
+    are treated as no-match (values nulled / row dropped for inner) —
+    the pandas merge_asof surface, at shuffle scale.
 
     Union-window rewrite (one shuffle on the key, no range-explosion):
     tag sides, sort (ts, side) within key with the right side first on
-    ties (<= semantics), carry values forward with last(ignorenulls),
-    keep left rows. This is the shape that scales — a naive
+    ties (inclusive semantics), carry values forward with
+    last(ignorenulls), keep left rows. Forward direction is the same
+    window over descending ts. This is the shape that scales — a naive
     theta-join (l.ts >= r.ts) is quadratic per key.
     """
     from pyspark.sql.window import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = [f.name for f in left.schema.fields]
     l = left.select(
         F.col(on).alias("_k"),
@@ -117,9 +126,10 @@ def asof_join(
         F.lit(None).cast(l.schema["_left"].dataType).alias("_left"),
         *[F.col(c).alias(f"_v_{c}") for c in value_cols],
     )
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = l.unionByName(r)
@@ -132,6 +142,19 @@ def asof_join(
         "_matched",
         F.last(F.when(F.col("_side") == 0, F.lit(1)), ignorenulls=True).over(w),
     )
+    if tolerance is not None:
+        m_ts = F.last(
+            F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True
+        ).over(w)
+        gap = (
+            F.col("_ts") - m_ts if direction == "backward" else m_ts - F.col("_ts")
+        )
+        within = gap <= F.expr(f"INTERVAL {tolerance}")
+        u = u.withColumn(
+            "_matched", F.when(within, F.col("_matched"))
+        )
+        for c in value_cols:
+            u = u.withColumn(f"_v_{c}", F.when(within, F.col(f"_v_{c}")))
     out = u.filter(F.col("_side") == 1).select(
         "_left.*",
         *[F.col(f"_v_{c}").alias(f"asof_{c}") for c in value_cols],

@@ -77,3 +77,45 @@ def test_knn_salted_equals_unsalted(spark):
     plain = {(r.qid, r.cid) for r in G.knn_join(qdf, cdf, **kw).collect()}
     salted = {(r.qid, r.cid) for r in G.knn_join(qdf, cdf, salt=8, **kw).collect()}
     assert plain == salted and len(plain) == 100  # 20 queries x k=5
+
+
+def test_asof_tolerance_and_forward(spark):
+    """merge_asof surface: forward direction + tolerance vs brute force."""
+    import datetime as dt
+
+    from harvester_fgp_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "lts": [ts(10), ts(100), ts(10)]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 1, 2], "rts": [ts(12), ts(300), ts(9)], "v": [1.0, 2.0, 3.0]}
+        )
+    )
+    fwd = {
+        (r.k, r.lts): r.asof_v
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            value_cols=["v"], direction="forward",
+        ).collect()
+    }
+    # k=1 @10 -> next right @12 (v=1); k=1 @100 -> @300 (v=2); k=2 @10 -> none
+    assert fwd == {(1, ts(10)): 1.0, (1, ts(100)): 2.0, (2, ts(10)): None}
+    # with 1-hour tolerance the @300 match (200 min away) is nulled
+    tol = {
+        (r.k, r.lts): r.asof_v
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            value_cols=["v"], direction="forward", tolerance="1 HOUR",
+        ).collect()
+    }
+    assert tol == {(1, ts(10)): 1.0, (1, ts(100)): None, (2, ts(10)): None}
+    # inner + tolerance drops the out-of-tolerance and unmatched rows
+    inner = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        value_cols=["v"], direction="forward", tolerance="1 HOUR", how="inner",
+    ).collect()
+    assert len(inner) == 1 and inner[0].asof_v == 1.0
