@@ -670,6 +670,28 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal range join (bucketized equi-join, no theta/NLJ): clicks
+    landing within 2 hours after each error event, counted per error."""
+    from harvester_fgp_spark.operators.joins import interval_join
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iv_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts", "user_id"
+    )
+    j = interval_join(clicks, iv, "ts", "start_ts", "end_ts")
+    return j.groupBy("iv_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: blob -> typed metadata via mapInPandas; the
     deterministic decode fake makes even the Python boundary oracle-checkable."""
@@ -901,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_users": _q_salted_join_users,
         "asof_join_events": _q_asof_join,
         "asof_join_forward": _q_asof_join_forward,
+        "interval_join_events": _q_interval_join,
         "media_meta": _q_media_meta,
         "media_frames": _q_media_frames,
         "dedup_minhash": _q_dedup_minhash,
@@ -1392,6 +1415,22 @@ def oracle_sql() -> dict[str, str]:
                 WHERE event_type = 'click'
             ) c
             ON e.user_id = c.user_id AND e.ts >= c.click_ts
+        """,
+        "interval_join_events": """
+            WITH iv AS (
+                SELECT event_id AS iv_id, ts AS start_ts,
+                       ts + INTERVAL 2 HOUR AS end_ts
+                FROM events WHERE event_type = 'error'
+            ),
+            clicks AS (
+                SELECT event_id AS click_id, ts, user_id FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT iv_id, COUNT(*) AS n_clicks,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM clicks JOIN iv
+              ON clicks.ts >= iv.start_ts AND clicks.ts <= iv.end_ts
+            GROUP BY iv_id
         """,
         "asof_join_forward": """
             SELECT e.event_id, e.user_id,

@@ -165,6 +165,54 @@ def asof_join(
     return out.drop("_matched")
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Temporal range join: point rows x interval rows with
+    start <= ts <= end — the 1-D analog of the geo cover join (J3).
+
+    A theta join is quadratic; instead each point carries its epoch
+    bucket and each interval explodes to the buckets it covers, so
+    Catalyst plans an EQUI-join on an int key; the exact BETWEEN filter
+    then removes bucket false positives. Each matching (point, interval)
+    pair joins exactly once (a point lives in one bucket), so no distinct
+    pass is needed. Size bucket_seconds to typical interval length:
+    buckets-per-interval is the fan-out, points-per-bucket the skew knob
+    (salt with J7 on `_b` if wall-clock hot spots dominate).
+    """
+    bs = F.lit(int(bucket_seconds))
+
+    def _epoch(c: str) -> F.Column:
+        # TIMESTAMP_NTZ has no direct long cast; route through TIMESTAMP
+        # (session tz, pinned UTC by callers) — consistent on both sides,
+        # which is all bucketing needs
+        return F.col(c).cast("timestamp").cast("long")
+
+    pb = points.withColumn("_b", F.floor(_epoch(point_ts) / bs).cast("long"))
+    ib = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(_epoch(start_ts) / bs).cast("long"),
+                F.floor(_epoch(end_ts) / bs).cast("long"),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, "_b")
+        .filter(
+            (F.col(point_ts) >= F.col(start_ts))
+            & (F.col(point_ts) <= F.col(end_ts))
+        )
+        .drop("_b")
+    )
+
+
 def dedup_latest(df: DataFrame, key: str = "url", ts: str = "warc_ts") -> DataFrame:
     """W2 use-case: keep the latest crawl per url (lag/window dedup)."""
     from pyspark.sql.window import Window

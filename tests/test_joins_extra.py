@@ -119,3 +119,28 @@ def test_asof_tolerance_and_forward(spark):
         value_cols=["v"], direction="forward", tolerance="1 HOUR", how="inner",
     ).collect()
     assert len(inner) == 1 and inner[0].asof_v == 1.0
+
+
+def test_interval_join_is_equi_join(spark, sf_dir):
+    """Temporal range join plans as an equi-join on the bucket key —
+    no BroadcastNestedLoopJoin / CartesianProduct — and matches the
+    theta-join result exactly."""
+    import __spark_entry__ as E
+
+    df = E.queries()["interval_join_events"](spark, sf_dir)
+    rows = {r.iv_id: r.n_clicks for r in df.collect()}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # brute-force theta oracle on the same slice
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iv_id"), F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"))
+    cl = ev.filter(F.col("event_type") == "click").select(F.col("ts").alias("cts"))
+    brute = {
+        r.iv_id: r.n
+        for r in iv.join(cl, (F.col("cts") >= F.col("s")) & (F.col("cts") <= F.col("e")))
+        .groupBy("iv_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert rows == brute
