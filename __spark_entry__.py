@@ -751,6 +751,40 @@ def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs.unionByName(dup), threshold=0.9)
 
 
+def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (web-corpus dedup key): messy URLs are
+    constructed deterministically from doc_id IN BOTH ENGINES (driver
+    tables carry no url column), then canonicalized — Spark natively
+    (textops.canonical_url_col), DuckDB longhand with the same
+    split/list_filter steps (no lookbehind: RE2-portable)."""
+    from harvester_fgp_spark.operators.textops import canonical_url_col
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    tail = (
+        F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=x&id="),
+                i.cast("string"),
+                F.lit("&utm_medium=y"),
+            ),
+        )
+        .when(i % 3 == 1, F.lit("/?fbclid=abc"))
+        .otherwise(F.lit("#frag"))
+    )
+    messy = F.concat(
+        F.lit("HTTPS://Site"),
+        (i % 50).cast("string"),
+        F.lit(".Example.COM/Path/"),
+        i.cast("string"),
+        tail,
+    )
+    return docs.select(
+        "doc_id", canonical_url_col(messy).alias("canon_url")
+    )
+
+
 def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical training-data cleaning composite: exact dedup (keep
     lowest id per identical text, one shuffle) -> lang-ID + quality gates
@@ -931,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": _q_dedup_ngram,
         "dedup_spans": _q_dedup_spans,
         "corpus_clean": _q_corpus_clean,
+        "url_canonical": _q_url_canonical,
         "text_analysis": _q_text_analysis,
         "text_token_stats": _q_text_token_stats,
         "ann_lsh": _q_ann_lsh,
@@ -1497,6 +1532,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.9
+        """,
+        "url_canonical": r"""
+            WITH m AS (
+                SELECT doc_id,
+                       'HTTPS://Site' || (doc_id % 50) || '.Example.COM/Path/'
+                       || doc_id ||
+                       CASE doc_id % 3
+                            WHEN 0 THEN '?utm_source=x&id=' || doc_id
+                                        || '&utm_medium=y'
+                            WHEN 1 THEN '/?fbclid=abc'
+                            ELSE '#frag' END AS url
+                FROM documents
+            ),
+            s AS (SELECT doc_id, string_split(url, '#')[1] AS no_frag FROM m),
+            p AS (
+                SELECT doc_id, string_split(no_frag, '?')[1] AS base,
+                       CASE WHEN len(string_split(no_frag, '?')) > 1
+                            THEN string_split(no_frag, '?')[2] END AS q
+                FROM s
+            ),
+            k AS (
+                SELECT doc_id, base, q,
+                       COALESCE(array_to_string(
+                           list_filter(string_split(q, '&'),
+                               x -> NOT regexp_matches(x,
+                                   '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)=')),
+                           '&'), '') AS cq
+                FROM p
+            ),
+            w AS (
+                SELECT doc_id,
+                       CASE WHEN q IS NULL OR cq = '' THEN base
+                            ELSE base || '?' || cq END AS u
+                FROM k
+            ),
+            h AS (
+                SELECT doc_id,
+                       regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*')
+                           AS head,
+                       u
+                FROM w
+            )
+            SELECT doc_id,
+                   regexp_replace(lower(head) || substring(u, length(head) + 1),
+                                  '/+$', '') AS canon_url
+            FROM h
         """,
         "dedup_spans": r"""
             WITH corpus AS (

@@ -37,6 +37,33 @@ def fingerprint_udf(text: pd.Series) -> pd.Series:
     return text.map(_text.fingerprint64)
 
 
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)="
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Canonical URL form for web-corpus dedup keys — fully native (E-family):
+
+    drop fragment -> rebuild the query string without tracking params
+    (split/filter/array_join, not regex lookbehind: portable to engines
+    without PCRE) -> lowercase scheme+host only (path/query are
+    case-sensitive per RFC 3986) -> trim trailing slashes.
+    """
+    # F.get (0-based) is null-safe out of bounds, unlike element_at under ANSI
+    no_frag = F.get(F.split(url, "#", 2), 0)
+    base = F.get(F.split(no_frag, r"\?", 2), 0)
+    q = F.get(F.split(no_frag, r"\?", 2), 1)
+    kept = F.filter(
+        F.split(q, "&"), lambda p: ~p.rlike(TRACKING_PARAM_RE)
+    )
+    canon_q = F.array_join(kept, "&")
+    with_q = F.when(
+        q.isNull() | (canon_q == ""), base
+    ).otherwise(F.concat(base, F.lit("?"), canon_q))
+    head = F.regexp_extract(with_q, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", 0)
+    rest = with_q.substr(F.length(head) + 1, F.lit(1_000_000))
+    return F.regexp_replace(F.concat(F.lower(head), rest), "/+$", "")
+
+
 def with_text_analysis(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """documents + (detected_lang, quality, n_tokens, fingerprint)."""
     t = F.col(text_col)
