@@ -751,6 +751,41 @@ def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs.unionByName(dup), threshold=0.9)
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: documents are decorated with deterministic synthetic
+    emails/phones in BOTH engines, scrubbed natively, compared by sha."""
+    from harvester_fgp_spark.operators.textops import scrub_pii_col
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    decorated = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        i.cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((i % 10000).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    scrubbed = scrub_pii_col(decorated)
+    return docs.select(
+        "doc_id",
+        F.sha2(scrubbed, 256).alias("scrubbed_sha"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    )
+
+
+def _q_stats_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (interpolated) + extrema — single exactly-rounded
+    (a+b)/2 for even counts, identical across engines."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.median("l_quantity").alias("median_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
 def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (web-corpus dedup key): messy URLs are
     constructed deterministically from doc_id IN BOTH ENGINES (driver
@@ -966,6 +1001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": _q_dedup_spans,
         "corpus_clean": _q_corpus_clean,
         "url_canonical": _q_url_canonical,
+        "pii_scrub": _q_pii_scrub,
+        "stats_median": _q_stats_median,
         "text_analysis": _q_text_analysis,
         "text_token_stats": _q_text_token_stats,
         "ann_lsh": _q_ann_lsh,
@@ -1532,6 +1569,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.9
+        """,
+        "pii_scrub": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id
+                       || '@mail.example.com or +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' now' AS t
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       regexp_replace(
+                           regexp_replace(t,
+                               '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                               '[EMAIL]', 'g'),
+                           '\+?\d[\d\-]{6,}\d', '[PHONE]', 'g') AS scrubbed
+                FROM d
+            )
+            SELECT doc_id, sha256(scrubbed) AS scrubbed_sha,
+                   CAST(length(scrubbed) AS BIGINT) AS scrubbed_len
+            FROM s
+        """,
+        "stats_median": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   median(l_quantity) AS median_qty,
+                   MIN(l_extendedprice) AS min_price,
+                   MAX(l_extendedprice) AS max_price
+            FROM lineitem GROUP BY l_returnflag
         """,
         "url_canonical": r"""
             WITH m AS (

@@ -64,6 +64,21 @@ def canonical_url_col(url: Column) -> Column:
     return F.regexp_replace(F.concat(F.lower(head), rest), "/+$", "")
 
 
+# RE2-compatible (no lookaround/backrefs) so the same patterns run in
+# Spark (Java regex), DuckDB, and any RE2-based scrubber downstream.
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d\-]{6,}\d"
+
+
+def scrub_pii_col(text: Column) -> Column:
+    """PII scrubbing for training corpora: emails -> [EMAIL], then
+    phone-shaped digit runs -> [PHONE] (email first so its digits can't
+    half-match the phone pattern). Native regexp_replace — replaces every
+    occurrence, stays in whole-stage codegen."""
+    no_email = F.regexp_replace(text, EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(no_email, PHONE_RE, "[PHONE]")
+
+
 def with_text_analysis(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """documents + (detected_lang, quality, n_tokens, fingerprint)."""
     t = F.col(text_col)
