@@ -751,6 +751,21 @@ def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs.unionByName(dup), threshold=0.9)
 
 
+def _q_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-family breadth: bitwise (bit_and/or/xor) + conditional
+    (count_if, bool_or/bool_and) — integer/boolean lattice ops,
+    order-insensitive and engine-exact by construction."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("uid_and"),
+        F.bit_or("user_id").alias("uid_or"),
+        F.bit_xor("event_id").alias("eid_xor"),
+        F.count_if(F.col("value") > 50.0).alias("n_big"),
+        F.bool_or(F.col("user_id") % 7 == 0).alias("any_7"),
+        F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
+    )
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: documents are decorated with deterministic synthetic
     emails/phones in BOTH engines, scrubbed natively, compared by sha."""
@@ -1002,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": _q_corpus_clean,
         "url_canonical": _q_url_canonical,
         "pii_scrub": _q_pii_scrub,
+        "bitwise_agg_events": _q_bitwise_aggs,
         "stats_median": _q_stats_median,
         "text_analysis": _q_text_analysis,
         "text_token_stats": _q_text_token_stats,
@@ -1569,6 +1585,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.9
+        """,
+        "bitwise_agg_events": """
+            SELECT event_type,
+                   CAST(bit_and(user_id) AS BIGINT) AS uid_and,
+                   CAST(bit_or(user_id) AS BIGINT) AS uid_or,
+                   CAST(bit_xor(event_id) AS BIGINT) AS eid_xor,
+                   CAST(COUNT(*) FILTER (WHERE value > 50.0) AS BIGINT) AS n_big,
+                   bool_or(user_id % 7 = 0) AS any_7,
+                   bool_and(value >= 0.0) AS all_nonneg
+            FROM events GROUP BY event_type
         """,
         "pii_scrub": r"""
             WITH d AS (
