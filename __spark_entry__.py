@@ -751,6 +751,34 @@ def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs.unionByName(dup), threshold=0.9)
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split at >30-min gaps — lag to
+    flag session starts, running sum to number them (two window passes
+    over ONE shuffle on user_id); per-session rollup. All-integer
+    derivations, engine-exact."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact integers: epoch SECONDS would truncate each
+    # endpoint differently than DuckDB truncates the difference
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = us - F.lag(us).over(w)
+    is_new = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    sessions = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    ).withColumn("_us", us)
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        (F.max("_us") - F.min("_us")).alias("duration_us"),
+    )
+
+
 def _q_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-family breadth: bitwise (bit_and/or/xor) + conditional
     (count_if, bool_or/bool_and) — integer/boolean lattice ops,
@@ -1018,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "pii_scrub": _q_pii_scrub,
         "bitwise_agg_events": _q_bitwise_aggs,
+        "sessionize_events": _q_sessionize,
         "stats_median": _q_stats_median,
         "text_analysis": _q_text_analysis,
         "text_token_stats": _q_text_token_stats,
@@ -1585,6 +1614,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.9
+        """,
+        "sessionize_events": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap_us
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, event_id, ts,
+                       SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                                THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS session_id
+                FROM g
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT)
+                       AS duration_us
+            FROM s GROUP BY 1, 2
         """,
         "bitwise_agg_events": """
             SELECT event_type,

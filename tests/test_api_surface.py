@@ -109,3 +109,50 @@ def test_cosine_sim_col_matches_numpy(spark):
         / (np.linalg.norm(va.astype(float)) * np.linalg.norm(vb.astype(float)))
     )
     assert abs(got - exp) < 1e-9
+
+
+def test_url_canonicalization_idempotent(spark):
+    """canon(canon(u)) == canon(u) over messy deterministic urls."""
+    from harvester_fgp_spark.operators.textops import canonical_url_col
+
+    rows = [
+        "HTTPS://A.Example.COM/Path/X?utm_source=a&keep=1&fbclid=z#frag",
+        "http://b.example.ca/only/path/",
+        "https://C.example.org/?utm_a=1&utm_b=2",
+        "ftp://Mixed.Case.Host/File.TXT?gclid=9",
+        "https://d.example.com",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"u": rows}))
+    once = df.select(canonical_url_col(F.col("u")).alias("c1"))
+    twice = once.select(
+        F.col("c1"), canonical_url_col(F.col("c1")).alias("c2")
+    ).collect()
+    for r in twice:
+        assert r.c1 == r.c2, r
+    got = [r.c1 for r in once.collect()]
+    assert got[0] == "https://a.example.com/Path/X?keep=1"
+    assert got[1] == "http://b.example.ca/only/path"
+    assert got[2] == "https://c.example.org"
+    assert got[4] == "https://d.example.com"
+
+
+def test_pii_scrub_idempotent_and_complete(spark):
+    from harvester_fgp_spark.operators.textops import scrub_pii_col
+
+    rows = [
+        "mail me at a.b+c@x-y.co.uk or call +1-555-0100 thanks",
+        "two mails p@q.io r@s.de and digits 1234567890",
+        "clean text with no pii at all",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"t": rows}))
+    once = df.select(scrub_pii_col(F.col("t")).alias("s1"))
+    twice = once.select(
+        "s1", scrub_pii_col(F.col("s1")).alias("s2")
+    ).collect()
+    for r in twice:
+        assert r.s1 == r.s2
+        assert "@" not in r.s1 or "[EMAIL]" in r.s1
+    got = [r.s1 for r in once.collect()]
+    assert got[0] == "mail me at [EMAIL] or call [PHONE] thanks"
+    assert got[1] == "two mails [EMAIL] [EMAIL] and digits [PHONE]"
+    assert got[2] == rows[2]
