@@ -751,6 +751,22 @@ def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs.unionByName(dup), threshold=0.9)
 
 
+def _q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth: levenshtein between region/nation names
+    (integer edit distances, engine-exact) + initcap/reverse/translate."""
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    j = nation.crossJoin(F.broadcast(region))
+    return j.select(
+        "n_nationkey",
+        "r_regionkey",
+        F.levenshtein("n_name", "r_name").cast("long").alias("edit_dist"),
+        F.initcap(F.lower("n_name")).alias("nice_name"),
+        F.reverse(F.col("r_name")).alias("rev_region"),
+        F.translate(F.col("n_name"), "AEIOU", "aeiou").alias("lower_vowels"),
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: per-user sessions split at >30-min gaps — lag to
     flag session starts, running sum to number them (two window passes
@@ -1047,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "bitwise_agg_events": _q_bitwise_aggs,
         "sessionize_events": _q_sessionize,
+        "string_distance": _q_string_distance,
         "stats_median": _q_stats_median,
         "text_analysis": _q_text_analysis,
         "text_token_stats": _q_text_token_stats,
@@ -1614,6 +1631,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.9
+        """,
+        "string_distance": """
+            SELECT n_nationkey, r_regionkey,
+                   CAST(levenshtein(n_name, r_name) AS BIGINT) AS edit_dist,
+                   -- initcap: DuckDB lacks it; word-capitalize longhand
+                   array_to_string(list_transform(
+                       string_split(lower(n_name), ' '),
+                       w -> upper(w[1]) || w[2:]), ' ') AS nice_name,
+                   reverse(r_name) AS rev_region,
+                   translate(n_name, 'AEIOU', 'aeiou') AS lower_vowels
+            FROM nation CROSS JOIN region
         """,
         "sessionize_events": """
             WITH g AS (

@@ -128,3 +128,30 @@ def test_duplicate_span_counts_finds_planted_repeats(spark):
     # too; what MUST hold: planted docs share the span across docs
     span_docs = sum(1 for d in range(4) if out[d].n_dup_windows > 0)
     assert span_docs == 4
+
+
+def test_exact_near_dup_complete_across_random_thresholds(spark):
+    """Hypothesis-style sweep: the chord-bound bucket join must equal the
+    brute-force pair set for ANY threshold and vector distribution — the
+    completeness guarantee is math, not tuning."""
+    rng = np.random.default_rng(77)
+    for t in (0.05, 0.35, 0.6, 0.8, 0.9, 0.99):
+        dim = int(rng.integers(4, 24))
+        n = int(rng.integers(15, 45))
+        base = rng.standard_normal((n, dim)).astype(np.float32)
+        # mix in clustered vectors so high thresholds have hits
+        base[n // 2 :] = base[: n - n // 2] + rng.standard_normal(
+            (n - n // 2, dim)
+        ).astype(np.float32) * 0.08
+        pdf = pd.DataFrame(
+            {"vec_id": range(n), "embedding": [list(map(float, v)) for v in base]}
+        )
+        emb = spark.createDataFrame(pdf).withColumn(
+            "embedding", F.col("embedding").cast("array<float>")
+        )
+        got = {
+            (r.ia, r.ib)
+            for r in exact_near_dup_pairs(emb, threshold=t, dim=dim).collect()
+        }
+        exp = {(r.ia, r.ib) for r in _brute_pairs(spark, emb, t).collect()}
+        assert got == exp, f"t={t} dim={dim} n={n}: {got ^ exp}"
