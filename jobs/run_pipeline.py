@@ -43,6 +43,16 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         help="after the write, audit on-disk tiles against the checkpoint "
         "table (row counts + fingerprints) and fail on any discrepancy",
     )
+    p.add_argument(
+        "--stream",
+        action="store_true",
+        help="treat --pages as a streaming source directory: run the SAME "
+        "pipeline per micro-batch via foreachBatch with exactly-once "
+        "per-(tile,batch) commits; processes available input then stops",
+    )
+    p.add_argument("--stream-checkpoint", default=None,
+                   help="Structured Streaming checkpoint location "
+                   "(default: <checkpoint>/_stream)")
     p.add_argument("--cell-level", type=int, default=12)
     p.add_argument("--tile-z", type=int, default=8)
     p.add_argument("--snapshot-id", type=int, default=None)
@@ -69,6 +79,29 @@ def main(argv: list[str]) -> None:
         ppdf = generate_polygons(int(args.polygons.split(":", 1)[1]), seed=42)
     else:
         ppdf = spark.read.parquet(args.polygons).toPandas()  # noqa: small dim table
+
+    if args.stream:
+        from harvester_fgp_spark.streaming.pipeline import (
+            read_pages_stream,
+            stream_records_foreach_batch,
+        )
+
+        stream = read_pages_stream(spark, args.pages)
+        q = (
+            stream_records_foreach_batch(
+                spark, stream, ppdf, args.out, args.checkpoint, args.run_id
+            )
+            .option(
+                "checkpointLocation",
+                args.stream_checkpoint or f"{args.checkpoint}/_stream",
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        print("stream drained; records at", args.out)
+        spark.stop()
+        return
 
     records = C.with_tile_id(
         mine_records(
