@@ -95,8 +95,8 @@ def band_table(
 
     Fixed-width by construction (two longs + an int per row x NUM_BANDS):
     at 100 TB the band self-join moves O(corpus_rows x NUM_BANDS x 20 B),
-    not corpus bytes. tests/test_dedup_plan.py asserts no string column
-    ever enters this table.
+    not corpus bytes. tests/test_dedup_scale.py::test_band_table_carries_no_text
+    asserts no string column ever enters this table.
     """
     rows_per_band = NUM_PERM // NUM_BANDS
     sig = docs.select(F.col(id_col), minhash_udf(F.col(text_col)).alias("sig"))
@@ -123,6 +123,7 @@ def minhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with verified shingle-Jaccard >= threshold.
 
@@ -146,15 +147,24 @@ def minhash_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # candidate id set is small -> broadcast it; the two text fetches are
-    # then broadcast hash joins that STREAM docs (no text shuffle at all)
+    # Candidate id set is USUALLY small (LSH banding exists precisely to
+    # make it so) -> broadcast it; the two text fetches are then broadcast
+    # hash joins that STREAM docs (no text shuffle at all). But it is
+    # O(candidate pairs), NOT bounded: on a duplicate-heavy corpus the
+    # broadcast can blow the driver limit. `broadcast_candidates=False`
+    # drops the hint — the semi-join plans as a shuffled join (AQE may
+    # still convert it back to broadcast at runtime if the built side
+    # turns out small); results are identical either way
+    # (tests/test_round3_fixes.py).
     ids = (
         cands.select(F.col("id_a").alias("_id"))
         .unionByName(cands.select(F.col("id_b").alias("_id")))
         .distinct()
     )
+    if broadcast_candidates:
+        ids = F.broadcast(ids)
     needed = docs.join(
-        F.broadcast(ids), docs[id_col] == ids["_id"], "left_semi"
+        ids, docs[id_col] == ids["_id"], "left_semi"
     ).select(id_col, text_col)
     ta = needed.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
     tb = needed.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))

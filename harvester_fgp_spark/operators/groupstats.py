@@ -48,9 +48,14 @@ TILE_STATS_SCHEMA = StructType(
 def _tile_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     lat = pdf["lat"].to_numpy(dtype=np.float64)
     lon = pdf["lon"].to_numpy(dtype=np.float64)
-    # integer centi-degree sums -> order-insensitive, engine-exact centroid
-    la = np.rint(lat * 100.0).astype(np.int64)
-    lo = np.rint(lon * 100.0).astype(np.int64)
+    # integer centi-degree sums -> order-insensitive, engine-exact centroid.
+    # floor(x*100 + 0.5), NOT rint: rint is half-to-even while the DuckDB
+    # twin's ROUND is half-away-from-zero — they disagree whenever x*100
+    # lands on an exact .5 tie (e.g. 2.125). floor(+0.5) is one explicit
+    # IEEE op sequence both engines reproduce bit-identically (the oracle
+    # uses the same FLOOR(x*100 + 0.5) longhand).
+    la = np.floor(lat * 100.0 + 0.5).astype(np.int64)
+    lo = np.floor(lon * 100.0 + 0.5).astype(np.int64)
     n = len(pdf)
     return pd.DataFrame(
         {

@@ -139,6 +139,7 @@ def verify_lineage(
     out_dir: str,
     checkpoint_dir: str,
     stage: str = "records",
+    per_batch: bool = False,
 ) -> DataFrame:
     """Audit: recompute per-tile row counts + fingerprints from the parquet
     actually on disk and anti-check them against the committed lineage.
@@ -159,9 +160,27 @@ def verify_lineage(
             ).alias("disk_fp"),
         )
     )
+    # A replayed/rerun tile (idempotent by design: the data write
+    # overwrites the same (tile) / (tile, batch) partitions in place)
+    # APPENDS a second set of lineage rows while leaving one copy of the
+    # data, so naive aggregation doubles cp_rows and xors fingerprints to
+    # 0 — flagging data that is actually correct. Reduce to the LATEST
+    # commit first: all rows of one commit share completed_at
+    # (current_timestamp is constant per write query), so keeping the
+    # max(completed_at) rows keeps exactly one commit's partition rows,
+    # even when the replay partitioned the data differently.
+    #   per_batch=False (batch sink): latest commit per tile_id — dynamic
+    #     overwrite means the last writer owns the whole tile directory,
+    #     whatever its run_id (covers same-run replays AND new-run reruns).
+    #   per_batch=True (streaming sink): latest commit per (run_id,
+    #     tile_id); batch_id is encoded in run_id ("<run>-b<N>") and tiles
+    #     legitimately accumulate rows across batches, so batches must
+    #     still SUM while each batch's replays collapse.
+    cp = spark.read.parquet(checkpoint_dir).filter(F.col("stage") == stage)
+    keys = ["run_id", "tile_id"] if per_batch else ["tile_id"]
+    latest = cp.groupBy(*keys).agg(F.max("completed_at").alias("completed_at"))
     committed = (
-        spark.read.parquet(checkpoint_dir)
-        .filter(F.col("stage") == stage)
+        cp.join(latest, [*keys, "completed_at"], "left_semi")
         .groupBy("tile_id")
         .agg(
             F.sum("row_count").alias("cp_rows"),

@@ -99,18 +99,24 @@ def stream_dedup_first_seen(pages: DataFrame) -> DataFrame:
 
     def fn(key, pdfs, state):
         n_prev = state.get[0] if state.exists else 0
-        first = None
+        # running MIN across every chunk of the trigger: chunk order is
+        # shuffle-dependent, so emitting an arbitrary row's warc_ts would
+        # be nondeterministic across replays/restarts ("first time seen"
+        # must mean the earliest event time in the trigger, not the first
+        # Arrow chunk to arrive)
+        min_ts = None
         n_new = 0
         for pdf in pdfs:
-            if first is None and len(pdf):
-                first = pdf.iloc[:1]
+            if len(pdf):
+                chunk_min = pdf["warc_ts"].min()
+                min_ts = chunk_min if min_ts is None else min(min_ts, chunk_min)
             n_new += len(pdf)
         state.update((n_prev + n_new,))
-        if n_prev == 0 and first is not None:
+        if n_prev == 0 and min_ts is not None:
             yield pd.DataFrame(
                 {
                     "url": [key[0]],
-                    "warc_ts": first["warc_ts"].reset_index(drop=True),
+                    "warc_ts": [min_ts],
                     "n_seen_total": [n_prev + n_new],
                 }
             )
