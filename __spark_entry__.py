@@ -930,15 +930,16 @@ def _q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish token counting graduated to an exact oracle: the Python
-    regex kernel (textops.token_count_udf) vs DuckDB regexp_extract_all
-    with the same pattern — a real cross-engine regex-equality check."""
-    from harvester_fgp_spark.operators.textops import token_count_udf
+    """BPE-ish token counting, fully native on the Spark side (round-3):
+    size(regexp_extract_all) in whole-stage codegen vs DuckDB
+    regexp_extract_all with the same pattern — a real cross-engine
+    regex-equality check with zero Python in the hot path."""
+    from harvester_fgp_spark.operators.textops import token_count_col
 
     docs = _read(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.sum(token_count_udf(F.col("text")).cast("long")).alias(
+        F.sum(token_count_col(F.col("text")).cast("long")).alias(
             "sum_bpe_tokens"
         ),
     )

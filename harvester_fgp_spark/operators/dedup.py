@@ -31,61 +31,129 @@ _rng = np.random.default_rng(1234)
 _PERM_A = _rng.integers(1, _MERSENNE, size=NUM_PERM, dtype=np.int64)
 _PERM_B = _rng.integers(0, _MERSENNE, size=NUM_PERM, dtype=np.int64)
 
-
-def _shingle_hashes(text: str) -> np.ndarray:
-    """Word k-shingles -> uint64 hashes (blake2b digest_size=8 — C-speed;
-    a per-byte Python hash loop here was the original bench hot spot)."""
-    import hashlib
-
-    words = text.lower().split()
-    if not words:
-        return np.empty(0, dtype=np.uint64)
-    if len(words) < SHINGLE_K:
-        grams = [" ".join(words)]
-    else:
-        grams = [
-            " ".join(words[i : i + SHINGLE_K])
-            for i in range(len(words) - SHINGLE_K + 1)
-        ]
-    buf = b"".join(
-        hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest() for g in grams
-    )
-    return np.frombuffer(buf, dtype=">u8").astype(np.uint64)
+# Odd multiplier for the polynomial word-gram rolling hash (golden-ratio
+# constant); powers wrap mod 2^64, which is exactly what uint64 gives.
+_POLY_B = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _minhash_signature(text: str | None) -> list[int] | None:
-    if text is None:
-        return None
-    sh = _shingle_hashes(text)
-    if len(sh) == 0:
-        return [0] * NUM_PERM
-    x = (sh & np.uint64((1 << 61) - 1)).astype(np.int64)
-    # (a*x + b) mod p for all perms x all shingles, then min per perm
-    vals = (
-        x[None, :].astype(np.uint64) * _PERM_A[:, None].astype(np.uint64)
-        + _PERM_B[:, None].astype(np.uint64)
-    ) % np.uint64(_MERSENNE)
-    return vals.min(axis=1).astype(np.int64).tolist()
+def _gram_hash_arrays(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Batch word-k-gram hashing with ZERO per-row Python (round-3 fix of
+    the bench hot spot: the old kernel ran blake2b per gram in a Python
+    list comprehension per document).
+
+    Pipeline, all C-level: ``str.lower().str.split()`` -> ``explode`` ->
+    one ``pd.util.hash_array`` pass over every word in the batch (siphash,
+    fixed key => deterministic across workers/sessions) -> k-gram hashes
+    as a degree-(k-1) polynomial in ``_POLY_B`` over consecutive word
+    hashes (three shifted vector multiplies, wraparound mod 2^64).
+    Documents with 0 < n_words < k contribute ONE gram over all their
+    words (same cardinality the old join-everything gram had).
+
+    Returns ``(gram_row, gram_hash)`` sorted by row — ready for
+    ``np.minimum.reduceat`` / bit-majority ``reduceat`` per document.
+    """
+    words = texts.reset_index(drop=True).fillna("").str.lower().str.split()
+    nw = words.str.len().to_numpy(dtype=np.int64)
+    flat = words.explode()
+    mask = flat.notna().to_numpy()
+    vals = flat.to_numpy(dtype=object)[mask]
+    row = flat.index.to_numpy(dtype=np.int64)[mask]
+    wh = pd.util.hash_array(vals).astype(np.uint64)
+
+    k = SHINGLE_K
+    parts_row: list[np.ndarray] = []
+    parts_hash: list[np.ndarray] = []
+    n = len(wh)
+    if n >= k:
+        # full windows: position i starts a gram iff i..i+k-1 share a row
+        same = row[: n - k + 1] == row[k - 1 :]
+        acc = np.zeros(int(same.sum()), dtype=np.uint64)
+        idx = np.nonzero(same)[0]
+        for j in range(k):
+            acc = acc * _POLY_B + wh[idx + j]
+        parts_row.append(row[idx])
+        parts_hash.append(acc)
+    # short documents (0 < n_words < k): one gram over all their words
+    starts = np.concatenate([[0], np.cumsum(nw)])[:-1]
+    for m in range(1, k):
+        short = np.nonzero(nw == m)[0]
+        if len(short):
+            acc = np.zeros(len(short), dtype=np.uint64)
+            for j in range(m):
+                acc = acc * _POLY_B + wh[starts[short] + j]
+            parts_row.append(short.astype(np.int64))
+            parts_hash.append(acc)
+    if not parts_row:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    gram_row = np.concatenate(parts_row)
+    gram_hash = np.concatenate(parts_hash)
+    order = np.argsort(gram_row, kind="stable")
+    return gram_row[order], gram_hash[order]
+
+
+def _gram_hashes(text: str) -> np.ndarray:
+    """Scalar twin of ``_gram_hash_arrays`` (tests + tiny inputs)."""
+    _, h = _gram_hash_arrays(pd.Series([text]))
+    return h
+
+
+def _minhash_batch(texts: pd.Series) -> pd.Series:
+    """(a*x + b) mod p per permutation over the whole batch's gram array,
+    then ``np.minimum.reduceat`` per document — 32 vector passes total,
+    no per-document Python. Empty docs -> all-zero signature, null docs
+    -> null (same surface as the old scalar kernel)."""
+    t = texts.reset_index(drop=True)
+    rows = len(t)
+    gram_row, gram_hash = _gram_hash_arrays(t)
+    sig = np.zeros((rows, NUM_PERM), dtype=np.int64)
+    if len(gram_row):
+        with_grams = np.unique(gram_row)
+        starts = np.searchsorted(gram_row, with_grams)
+        x = (gram_hash & np.uint64((1 << 61) - 1)).astype(np.uint64)
+        for p in range(NUM_PERM):
+            v = (
+                x * np.uint64(_PERM_A[p]) + np.uint64(_PERM_B[p])
+            ) % np.uint64(_MERSENNE)
+            sig[with_grams, p] = np.minimum.reduceat(v, starts).astype(np.int64)
+    isnull = t.isna().to_numpy()
+    out = pd.Series(list(sig), dtype=object)
+    out[isnull] = None
+    return out
 
 
 @pandas_udf(ArrayType(LongType()))
 def minhash_udf(text: pd.Series) -> pd.Series:
-    return text.map(_minhash_signature)
+    return _minhash_batch(text)
 
 
-def _jaccard(a: str, b: str) -> float:
-    sa = set(_shingle_hashes(a).tolist())
-    sb = set(_shingle_hashes(b).tolist())
-    if not sa and not sb:
-        return 1.0
-    return len(sa & sb) / len(sa | sb)
+def _jaccard_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact gram-set Jaccard for candidate pairs: both columns hash
+    through the batched gram kernel; the per-pair set algebra is
+    ``np.intersect1d`` over unique uint64 arrays (C merge), not Python
+    set-of-str operations."""
+    a = a.reset_index(drop=True)
+    b = b.reset_index(drop=True)
+    ra, ha = _gram_hash_arrays(a)
+    rb, hb = _gram_hash_arrays(b)
+    bounds_a = np.searchsorted(ra, np.arange(len(a) + 1))
+    bounds_b = np.searchsorted(rb, np.arange(len(b) + 1))
+    out = np.empty(len(a), dtype=np.float64)
+    for i in range(len(a)):
+        sa = np.unique(ha[bounds_a[i] : bounds_a[i + 1]])
+        sb = np.unique(hb[bounds_b[i] : bounds_b[i + 1]])
+        if not len(sa) and not len(sb):
+            out[i] = 1.0
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        out[i] = inter / (len(sa) + len(sb) - inter)
+    return pd.Series(out)
 
 
 # NB: DataType object, not "double" DDL — string types need the JVM to
 # parse, which breaks when the Python WORKER re-imports this module.
 @pandas_udf(DoubleType())
 def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series([_jaccard(x, y) for x, y in zip(a, b)])
+    return _jaccard_batch(a, b)
 
 
 def band_table(
@@ -127,50 +195,70 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """All (id_a < id_b) pairs with verified shingle-Jaccard >= threshold.
 
-    Plan: signature -> (id, band, bh) band table -> self-equi-join on
-    (band, band_hash) -> distinct candidate ID pairs -> texts joined back
-    ONLY for the candidate set -> exact-Jaccard verify.
+    Plan (round-3 shape — every subtree evaluates exactly ONCE):
+    signature -> (id, band, bh) band table -> groupBy bucket -> native
+    pair expansion -> ONE broadcast join against the corpus to fetch
+    candidate texts -> groupBy pair (dedups multi-band repeats) -> exact
+    Jaccard verify.
 
-    Round-1 defect fixed here: the band self-join used to carry full
-    document text on both sides (~2 x NUM_BANDS x corpus bytes through
-    the shuffle). Now the candidate generation shuffles only compact keys;
-    texts are fetched via a broadcast semi-join on the candidate id set,
-    which is far smaller than the corpus by construction (LSH banding
-    exists precisely to make it so).
+    History: round 1 shuffled full text through the band self-join;
+    round 2 moved to compact keys + broadcast semi-join text fetch, but
+    its `cands` subtree fed three consumers, so Spark re-evaluated the
+    whole bucket chain ~3x (no CSE across joins) and the self-join ran
+    the signature UDF twice. The current shape computes the signature
+    once, shuffles only (a) 20-byte band rows and (b) candidate-pair
+    texts — both bounded by the LSH contract, not corpus size.
     """
     bands = band_table(docs, id_col, text_col)
-    left = bands.select(F.col(id_col).alias("id_a"), "band", "bh")
-    right = bands.select(F.col(id_col).alias("id_b"), "band", "bh")
-    cands = (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    # Candidate generation as groupBy + native pair expansion rather than
+    # a self-join: a self-join would evaluate the minhash UDF subtree
+    # TWICE over the whole corpus (Spark does not CSE self-join inputs) —
+    # at 100 TB that is a second full signature pass. One groupBy on the
+    # compact (band, bh) key shuffles each bucket's id list to one place;
+    # pairs explode natively (transform x transform, i < j), identical to
+    # the join's output. Bucket width is the LSH knob: hot buckets ==
+    # near-dup clusters, the quadratic blowup LSH accepts by design.
+    buckets = (
+        bands.groupBy("band", "bh")
+        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+        .filter(F.size("_ids") > 1)
     )
-    # Candidate id set is USUALLY small (LSH banding exists precisely to
-    # make it so) -> broadcast it; the two text fetches are then broadcast
-    # hash joins that STREAM docs (no text shuffle at all). But it is
-    # O(candidate pairs), NOT bounded: on a duplicate-heavy corpus the
-    # broadcast can blow the driver limit. `broadcast_candidates=False`
-    # drops the hint — the semi-join plans as a shuffled join (AQE may
-    # still convert it back to broadcast at runtime if the built side
-    # turns out small); results are identical either way
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                "_ids",
+                lambda a: F.transform("_ids", lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
+    # one row per (pair, side); the same pair may repeat across bands —
+    # the final per-pair groupBy dedups, saving a distinct shuffle here
+    cands = buckets.select(F.explode(pair).alias("p")).select(
+        "p.id_a", "p.id_b", F.explode(F.array("p.id_a", "p.id_b")).alias("_id")
+    )
+    # The candidate pair set is USUALLY small (LSH banding exists
+    # precisely to make it so) -> broadcast it and STREAM the corpus
+    # through one hash join. It is O(candidate pairs), NOT bounded: on a
+    # duplicate-heavy corpus pass broadcast_candidates=False to drop the
+    # hint — the join plans shuffled (AQE may still convert back to
+    # broadcast at runtime); results are identical either way
     # (tests/test_round3_fixes.py).
-    ids = (
-        cands.select(F.col("id_a").alias("_id"))
-        .unionByName(cands.select(F.col("id_b").alias("_id")))
-        .distinct()
-    )
     if broadcast_candidates:
-        ids = F.broadcast(ids)
-    needed = docs.join(
-        ids, docs[id_col] == ids["_id"], "left_semi"
-    ).select(id_col, text_col)
-    ta = needed.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
-    tb = needed.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
-    verify = cands.join(ta, "id_a").join(tb, "id_b")
+        cands = F.broadcast(cands)
+    fetched = docs.select(id_col, text_col).join(
+        cands, F.col(id_col) == F.col("_id")
+    )
+    per_pair = fetched.groupBy("id_a", "id_b").agg(
+        F.max(
+            F.when(F.col("_id") == F.col("id_a"), F.col(text_col))
+        ).alias("text_a"),
+        F.max(
+            F.when(F.col("_id") == F.col("id_b"), F.col(text_col))
+        ).alias("text_b"),
+    )
     return (
-        verify.withColumn("jaccard", jaccard_udf("text_a", "text_b"))
+        per_pair.withColumn("jaccard", jaccard_udf("text_a", "text_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -239,25 +327,35 @@ def duplicate_span_counts(
 # --- SimHash -----------------------------------------------------------------
 
 
-def _simhash(text: str | None) -> int:
-    if not text:
-        return 0
-    sh = _shingle_hashes(text)
-    if len(sh) == 0:
-        return 0
-    bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-        np.int64
-    )
-    acc = (2 * bits - 1).sum(axis=0)
-    val = 0
-    for i in np.nonzero(acc > 0)[0]:
-        val |= 1 << int(i)
-    return val & ((1 << 63) - 1)
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """Batch SimHash (round-3 fix of the per-row bit loop): per bit b,
+    one vector ``(g >> b) & 1`` pass + one ``reduceat`` per-document sum;
+    bit b is set where ones strictly exceed half the gram count
+    (equivalent to the old +/-1 accumulator's ``acc > 0``). 63 data bits
+    (bit 63 always 0, exactly like the old ``& (1<<63)-1`` mask)."""
+    t = texts.reset_index(drop=True)
+    rows = len(t)
+    gram_row, gram_hash = _gram_hash_arrays(t)
+    val = np.zeros(rows, dtype=np.int64)
+    if len(gram_row):
+        with_grams = np.unique(gram_row)
+        starts = np.searchsorted(gram_row, with_grams)
+        n_grams = np.diff(np.append(starts, len(gram_row)))
+        acc = np.zeros(len(with_grams), dtype=np.int64)
+        for b in range(63):
+            ones = np.add.reduceat(
+                ((gram_hash >> np.uint64(b)) & np.uint64(1)).astype(np.int64),
+                starts,
+            )
+            acc |= ((2 * ones > n_grams).astype(np.int64)) << b
+        val[with_grams] = acc
+    # null/empty both hash to 0, matching the old scalar kernel
+    return pd.Series(val)
 
 
 @pandas_udf(LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    return text.map(_simhash)
+    return _simhash_batch(text)
 
 
 def simhash_buckets(

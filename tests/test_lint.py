@@ -20,6 +20,33 @@ BANNED = (
 )
 
 
+def test_no_unwaived_series_map_in_engine():
+    """Round-3 extension: ``.map(`` on a pandas Series is per-row Python
+    inside the Arrow batch — banned in engine modules unless the line (or
+    the one above it) carries an explicit ``# per-row-ok: <reason>``
+    waiver stating why no vectorized/builtin equivalent exists. (Flushed
+    out token_count_udf, which had a pure-JVM regexp_extract_all twin.)"""
+    pat = re.compile(r"\.map\(")
+    offenders = []
+    for path in ENGINE.rglob("*.py"):
+        lines = path.read_text().splitlines()
+        for i, text_line in enumerate(lines):
+            stripped = text_line.strip()
+            if not pat.search(text_line) or stripped.startswith("#"):
+                continue
+            # accept a waiver anywhere in the contiguous comment block
+            # directly above the call
+            j = i - 1
+            waived = "per-row-ok:" in text_line
+            while j >= 0 and lines[j].strip().startswith("#"):
+                waived = waived or "per-row-ok:" in lines[j]
+                j -= 1
+            if waived:
+                continue
+            offenders.append(f"{path.name}:{i + 1}: {stripped}")
+    assert not offenders, "\n".join(offenders)
+
+
 def test_no_per_row_python_in_engine():
     offenders = []
     for path in ENGINE.rglob("*.py"):
