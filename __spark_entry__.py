@@ -195,6 +195,41 @@ def _q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 exact mode (round 3): distance-bound prefix escalation
+    (knn_join exact=True) — provably equal to the oracle's brute-force
+    crossJoin kNN while every Spark pass stays an equi-join (no NLJ).
+    A query terminates at a level once its k-th distance is within its
+    own cell's boundary-distance lower bound; stragglers escalate."""
+    pts = D.points_from_documents(spark, sf_dir).filter(F.col("doc_id") % 17 == 0)
+    q = pts.select(
+        "doc_id",
+        F.col("lat").alias("q_lat"),
+        F.col("lon").alias("q_lon"),
+    ).withColumn("cell_id", G.cell_encode_col(F.col("q_lon"), F.col("q_lat"), 12))
+    ctr = (
+        D.boxes(spark)
+        .select(
+            "box_id",
+            ((F.col("west") + F.col("east")) / F.lit(2.0)).alias("c_lon"),
+            ((F.col("south") + F.col("north")) / F.lit(2.0)).alias("c_lat"),
+        )
+        .withColumn(
+            "cell_id", G.cell_encode_col(F.col("c_lon"), F.col("c_lat"), 12)
+        )
+    )
+    out = G.knn_join(
+        q, ctr, k=3, query_id="doc_id", cand_id="box_id",
+        level=12, prefix_level=4, exact=True, rank_round=6,
+    )
+    return out.select(
+        "doc_id",
+        "box_id",
+        F.col("knn_rank").cast("long").alias("knn_rank"),
+        "dist_km",
+    )
+
+
 def _q_geo_haversine_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = D.points_from_documents(spark, sf_dir)
     d = G.haversine_km_col(
@@ -1039,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_box_join": _q_geo_box_join,
         "geo_box_tile_summary": _q_geo_box_tile_summary,
         "geo_knn": _q_geo_knn,
+        "geo_knn_exact": _q_geo_knn_exact,
         "tile_group_stats": _q_tile_group_stats,
         "geo_haversine_within": _q_geo_haversine_within,
         "geo_bbox_cover": _q_geo_bbox_cover,
@@ -1273,6 +1309,25 @@ def oracle_sql() -> dict[str, str]:
                        ROUND({hav.format(lat1='p.lat', lon1='p.lon', lat2='c.c_lat', lon2='c.c_lon')}, 6) AS dist_km
                 FROM pts p CROSS JOIN ctr c
                 WHERE p.doc_id % 29 = 0
+            )
+            SELECT doc_id, box_id, knn_rank, dist_km FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY dist_km ASC, box_id ASC
+                ) AS knn_rank FROM d
+            ) WHERE knn_rank <= 3
+        """,
+        "geo_knn_exact": f"""
+            WITH pts AS ({pts}), boxes AS ({boxes}),
+            ctr AS (
+                SELECT box_id, (west + east) / 2.0 AS c_lon,
+                       (south + north) / 2.0 AS c_lat
+                FROM boxes
+            ),
+            d AS (
+                SELECT p.doc_id, c.box_id,
+                       ROUND({hav.format(lat1='p.lat', lon1='p.lon', lat2='c.c_lat', lon2='c.c_lon')}, 6) AS dist_km
+                FROM pts p CROSS JOIN ctr c
+                WHERE p.doc_id % 17 = 0
             )
             SELECT doc_id, box_id, knn_rank, dist_km FROM (
                 SELECT *, ROW_NUMBER() OVER (

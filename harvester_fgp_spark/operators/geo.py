@@ -281,6 +281,34 @@ def polygon_tiles(polygons: DataFrame, z: int = _tiles.DEFAULT_TILE_Z) -> DataFr
 # --- G5: kNN via cell-prefix range join ----------------------------------------------
 
 
+def cell_boundary_dist_km(lat: Column, lon: Column, level: int) -> Column:
+    """Lower bound (km) on the great-circle distance from a point to the
+    BOUNDARY of its own level-`level` grid cell — the exact-kNN
+    termination radius: every point outside the cell is at least this far
+    away (the geodesic to it must cross the boundary, and each of the
+    four edges is bounded below by its full-parallel / full-meridian
+    distance: R*|dlat| along the meridian, asin(sin(dlon)*cos(lat))
+    cross-track to the meridian). All native trig — stays in codegen.
+    """
+    n = float(1 << level)
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    y = F.floor((F.lit(90.0) - lat) / F.lit(180.0) * F.lit(n))
+    west = x / F.lit(n) * F.lit(360.0) - F.lit(180.0)
+    east = (x + 1) / F.lit(n) * F.lit(360.0) - F.lit(180.0)
+    north = F.lit(90.0) - y / F.lit(n) * F.lit(180.0)
+    south = F.lit(90.0) - (y + 1) / F.lit(n) * F.lit(180.0)
+    r = F.lit(EARTH_RADIUS_KM)
+    coslat = F.cos(F.radians(lat))
+    d_ns = F.least(
+        r * F.radians(north - lat), r * F.radians(lat - south)
+    )
+    d_ew = F.least(
+        r * F.asin(coslat * F.sin(F.radians(lon - west))),
+        r * F.asin(coslat * F.sin(F.radians(east - lon))),
+    )
+    return F.least(d_ns, d_ew)
+
+
 def knn_join(
     queries: DataFrame,
     candidates: DataFrame,
@@ -292,17 +320,37 @@ def knn_join(
     broadcast_candidates: bool = True,
     expand_underfilled: bool = True,
     salt: int | None = None,
+    exact: bool = False,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """G5: k nearest candidates per query point.
 
     Plan shape (SURVEY §2.5 J3): equi-join on the shared cell prefix at
     `prefix_level` (coarse neighborhoods) -> exact haversine (native) ->
     Window row_number <= k. With `expand_underfilled`, queries whose
-    neighborhood yields < k candidates get a second, coarser pass
+    neighborhood holds < k candidates get a second, coarser pass
     (prefix_level - 2 == a 4x4 cell ring) and the union is re-ranked —
-    the "ring-expansion fallback" of SURVEY §2.4 G5. Neighbors straddling
-    a prefix boundary can still be missed (cell-join kNN is approximate
-    by construction); exactness is the oracle crossJoin's job.
+    the "ring-expansion fallback" of SURVEY §2.4 G5. The underfilled set
+    is derived from a per-prefix candidate histogram (count per prefix ==
+    count each query's join would produce), NOT by re-consuming the join
+    output — so no subtree is evaluated twice and nothing needs a persist
+    (round-3 fix: the old shape cached `pairs` and leaked it).
+
+    `exact=True` upgrades approximate cell-join kNN to PROVABLY exact:
+    after ranking at each level L of the schedule [prefix_level,
+    prefix_level-2, ..., 0], a query is DONE iff it has >= k candidates
+    and its k-th distance <= cell_boundary_dist_km(L) (no point outside
+    the shared cell can beat rank k, since reaching it crosses the cell
+    boundary). Unsatisfied queries escalate to the next coarser level;
+    level 0 is one world cell == all candidates, so termination is total.
+    At scale the escalation set shrinks geometrically (only queries whose
+    k-th neighbor sits near a cell edge), keeping every pass an
+    equi-join — never a nested loop.
+
+    `rank_round` ranks on round(dist, rank_round) with cand_id tiebreak
+    (matches engines that rank on rounded output, e.g. the DuckDB
+    oracle); the exactness test adds a 2e-6 km margin so rounding slop
+    cannot admit an out-of-cell candidate.
 
     Both sides must carry `cell_id` at `level` plus lat/lon columns named
     (q_lat, q_lon) / (c_lat, c_lon).
@@ -334,34 +382,75 @@ def knn_join(
             return salted_join(q, c, "_pfx", salt=salt).drop("_pfx")
         return q.join(c, "_pfx").drop("_pfx")
 
+    def _rank(pairs: DataFrame) -> DataFrame:
+        d_raw = haversine_km_col(
+            F.col("q_lat"), F.col("q_lon"), F.col("c_lat"), F.col("c_lon")
+        )
+        ranked = pairs.withColumn("_d_raw", d_raw).withColumn(
+            "dist_km",
+            F.round(F.col("_d_raw"), rank_round)
+            if rank_round is not None
+            else F.col("_d_raw"),
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("dist_km").asc(), F.col(cand_id).asc()
+        )
+        return ranked.withColumn("knn_rank", F.row_number().over(w))
+
+    if exact:
+        levels = list(range(prefix_level, 0, -2))
+        levels.append(0)
+        remaining = queries
+        outs: list[DataFrame] = []
+        for lv in levels:
+            ranked = _rank(_pass(lv, remaining))
+            if lv == 0:
+                outs.append(
+                    ranked.filter(F.col("knn_rank") <= k).drop("_d_raw")
+                )
+                break
+            wq = Window.partitionBy(query_id)
+            stats = ranked.withColumn(
+                "_n", F.count("*").over(wq)
+            ).withColumn(
+                "_dk",
+                F.max(
+                    F.when(F.col("knn_rank") <= k, F.col("_d_raw"))
+                ).over(wq),
+            )
+            bound = cell_boundary_dist_km(F.col("q_lat"), F.col("q_lon"), lv)
+            sat = (F.col("_n") >= k) & (F.col("_dk") + F.lit(2e-6) <= bound)
+            outs.append(
+                stats.filter(sat & (F.col("knn_rank") <= k)).drop(
+                    "_n", "_dk", "_d_raw"
+                )
+            )
+            done = stats.filter(sat).select(query_id).distinct()
+            remaining = remaining.join(done, query_id, "left_anti")
+        out = outs[0]
+        for extra in outs[1:]:
+            out = out.unionByName(extra)
+        return out
+
     pairs = _pass(prefix_level, queries)
     if expand_underfilled and prefix_level >= 2:
-        # `pairs` feeds BOTH the filled-query derivation and the final
-        # union — without persist the prefix join executes twice (verified
-        # in the round-1 plan audit). Spark drops the cache under memory
-        # pressure / on GC of the DataFrame, so no explicit unpersist.
-        pairs = pairs.persist()
-        filled = (
-            pairs.groupBy(query_id)
+        cand_counts = (
+            candidates.withColumn(
+                "_pfx", cell_parent_col(F.col("cell_id"), level, prefix_level)
+            )
+            .groupBy("_pfx")
             .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") >= k)
-            .select(query_id)
         )
-        underfilled = queries.join(filled, query_id, "left_anti")
+        underfilled = (
+            queries.withColumn(
+                "_pfx", cell_parent_col(F.col("cell_id"), level, prefix_level)
+            )
+            .join(F.broadcast(cand_counts), "_pfx", "left")
+            .filter(F.coalesce(F.col("_n"), F.lit(0)) < k)
+            .drop("_pfx", "_n")
+        )
         pairs = pairs.unionByName(
             _pass(prefix_level - 2, underfilled)
         ).dropDuplicates([query_id, cand_id])
 
-    joined = pairs.withColumn(
-        "dist_km",
-        haversine_km_col(
-            F.col("q_lat"), F.col("q_lon"), F.col("c_lat"), F.col("c_lon")
-        ),
-    )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("dist_km").asc(), F.col(cand_id).asc()
-    )
-    return (
-        joined.withColumn("knn_rank", F.row_number().over(w))
-        .filter(F.col("knn_rank") <= k)
-    )
+    return _rank(pairs).filter(F.col("knn_rank") <= k).drop("_d_raw")
