@@ -255,6 +255,44 @@ def _q_geo_bbox_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_bbox_cover_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 antimeridian path (round 3): dateline-crossing bboxes (west >
+    east, ISO 19115) cover the union of their [west,180] and [-180,east]
+    splits, and their center longitude wraps to (-180,180] — both
+    verified per box against the DuckDB longhand (mixed fixture: 1/3
+    ordinary boxes exercise the straight branch)."""
+    bx = D.wrapped_boxes(spark)
+    x0, y1 = D.grid_xy_cols(F.col("west"), F.col("south"), CELL_LEVEL)
+    x1, y0 = D.grid_xy_cols(F.col("east"), F.col("north"), CELL_LEVEL)
+    nmax = F.lit((1 << CELL_LEVEL) - 1).cast("long")
+    zero = F.lit(0).cast("long")
+    xs = F.when(
+        F.col("west") <= F.col("east"), F.sequence(x0, x1)
+    ).otherwise(
+        F.array_distinct(F.concat(F.sequence(x0, nmax), F.sequence(zero, x1)))
+    )
+    c_lon = G.bbox_center_lon_col(F.col("west"), F.col("east"))
+    c_lat = (F.col("south") + F.col("north")) / F.lit(2.0)
+    tx, ty = G.tile_cols(c_lon, c_lat, TILE_Z)
+    covered = (
+        bx.withColumn("ctr_tile_x", tx.cast("long"))
+        .withColumn("ctr_tile_y", ty.cast("long"))
+        .withColumn("gx", F.explode(xs))
+        .withColumn("gy", F.explode(F.sequence(y0, y1)))
+        .withColumn(
+            "cover_cell",
+            G._spread_bits_col(F.col("gx")).bitwiseOR(
+                F.shiftleft(G._spread_bits_col(F.col("gy")), 1)
+            ),
+        )
+    )
+    return covered.groupBy("box_id", "ctr_tile_x", "ctr_tile_y").agg(
+        F.count("*").alias("n_cells"),
+        F.min("cover_cell").alias("min_cell"),
+        F.max("cover_cell").alias("max_cell"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (SURVEY §2.5-2.9) — driver tables
 # ---------------------------------------------------------------------------
@@ -1078,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_group_stats": _q_tile_group_stats,
         "geo_haversine_within": _q_geo_haversine_within,
         "geo_bbox_cover": _q_geo_bbox_cover,
+        "geo_bbox_cover_wrap": _q_geo_bbox_cover_wrap,
         # relational coverage
         "tpch_q1_pricing": _q_tpch_q1,
         "tpch_q3_revenue_topk": _q_tpch_q3,
@@ -1348,6 +1387,45 @@ def oracle_sql() -> dict[str, str]:
             {boxes_cover}
             SELECT cover_cell, COUNT(DISTINCT box_id) AS n_boxes
             FROM cover GROUP BY cover_cell HAVING COUNT(DISTINCT box_id) >= 2
+        """,
+        "geo_bbox_cover_wrap": f"""
+            WITH b AS ({D.WRAP_BOXES_SQL}),
+            ctr AS (
+                SELECT box_id,
+                       CASE WHEN west <= east THEN (west + east) / 2.0
+                            ELSE CASE WHEN (west + east) / 2.0 + 180.0 > 180.0
+                                      THEN (west + east) / 2.0 + 180.0 - 360.0
+                                      ELSE (west + east) / 2.0 + 180.0 END
+                       END AS lon,
+                       (south + north) / 2.0 AS lat
+                FROM b
+            ),
+            t AS (
+                SELECT box_id, {tile_x} AS ctr_tile_x, {tile_y} AS ctr_tile_y
+                FROM ctr
+            ),
+            xs AS (
+                SELECT box_id, west, south, east, north,
+                       UNNEST(CASE WHEN west <= east
+                                   THEN range({bgx0}, {bgx1} + 1)
+                                   ELSE list_distinct(list_concat(
+                                        range({bgx0}, {1 << CELL_LEVEL}),
+                                        range(0, {bgx1} + 1))) END) AS gx
+                FROM b
+            ),
+            xy AS (
+                SELECT box_id, gx, UNNEST(range({bgy0}, {bgy1} + 1)) AS gy
+                FROM xs
+            ),
+            cells AS (
+                SELECT box_id,
+                       {morton_interleave_sql('gx', 'gy', CELL_LEVEL)} AS cover_cell
+                FROM xy
+            )
+            SELECT c.box_id, ctr_tile_x, ctr_tile_y, COUNT(*) AS n_cells,
+                   MIN(cover_cell) AS min_cell, MAX(cover_cell) AS max_cell
+            FROM cells c JOIN t USING (box_id)
+            GROUP BY 1, 2, 3
         """,
         "tile_group_stats": f"""
             WITH pts AS ({pts}),

@@ -116,7 +116,12 @@ def mine_payloads_batch(texts) -> list[list[dict]]:
         e = bb[1].astype(float).to_numpy()
         s = bb[2].astype(float).to_numpy()
         n = bb[3].astype(float).to_numpy()
-        ok = (w <= e) & (-180.0 <= w) & (e <= 180.0) & (s <= n) & (-90.0 <= s) & (n <= 90.0)
+        # west > east is LEGAL (ISO 19115 bbox crossing the antimeridian,
+        # e.g. Fiji/Alaska pages) — only range violations are dropped
+        ok = (
+            (-180.0 <= w) & (w <= 180.0) & (-180.0 <= e) & (e <= 180.0)
+            & (s <= n) & (-90.0 <= s) & (n <= 90.0)
+        )
         for r, wv, sv, ev, nv in zip(rows[ok], w[ok], s[ok], e[ok], n[ok]):
             out[r].append(
                 {"kind": "bbox", "lat": None, "lon": None,
@@ -163,8 +168,9 @@ def mine_payloads_flat(texts):
         e = bb[1].astype(float).to_numpy()
         s = bb[2].astype(float).to_numpy()
         n = bb[3].astype(float).to_numpy()
+        # west > east allowed: antimeridian-crossing bbox (ISO 19115)
         ok = (
-            (w <= e) & (-180.0 <= w) & (e <= 180.0)
+            (-180.0 <= w) & (w <= 180.0) & (-180.0 <= e) & (e <= 180.0)
             & (s <= n) & (-90.0 <= s) & (n <= 90.0)
         )
         b_rows, bw, bs, be, bn = rows[ok], w[ok], s[ok], e[ok], n[ok]
@@ -240,7 +246,12 @@ def mine_payloads(text: str | None) -> list[dict]:
     masked = text
     for m in BBOX_RE.finditer(text):
         w, e, s, n = (float(m.group(i)) for i in (1, 2, 3, 4))
-        if -180.0 <= w <= e <= 180.0 and -90.0 <= s <= n <= 90.0:
+        # west > east allowed: antimeridian-crossing bbox (ISO 19115)
+        if (
+            -180.0 <= w <= 180.0
+            and -180.0 <= e <= 180.0
+            and -90.0 <= s <= n <= 90.0
+        ):
             out.append(
                 {
                     "kind": "bbox",

@@ -130,20 +130,48 @@ def cell_bounds(cell: np.ndarray, level: int) -> tuple[np.ndarray, ...]:
     return west, south, east, north
 
 
+def bbox_center_lon(west: np.ndarray, east: np.ndarray) -> np.ndarray:
+    """Antimeridian-aware bbox center longitude (vectorized).
+
+    west <= east: plain midpoint. west > east (ISO 19115 dateline box):
+    midpoint of the wrapped interval, normalized to (-180, 180]. E.g.
+    west=177, east=-178 -> 179.5; west=-179, east=... symmetric.
+    """
+    west = np.asarray(west, dtype=np.float64)
+    east = np.asarray(east, dtype=np.float64)
+    raw = (west + east) / 2.0
+    m = raw + 180.0
+    m = np.where(m > 180.0, m - 360.0, m)
+    return np.where(west <= east, raw, m)
+
+
 def cover_bbox(
     west: float, south: float, east: float, north: float, level: int = COVER_LEVEL
 ) -> np.ndarray:
     """G2: all level-`level` cells intersecting one bbox (sorted int64).
 
     Exact cover (no over/under-approximation beyond grid quantization).
-    Degenerate/inverted boxes (west > east) are treated as empty — the
-    antimeridian split is the E2 miner's job, upstream.
+    west > east means the bbox crosses the antimeridian (ISO 19115):
+    the cover is the union of the [west, 180] and [-180, east] splits
+    (deduped — at coarse levels both splits can quantize into the same
+    column). south > north is degenerate -> empty.
     """
-    if west > east or south > north:
+    if south > north:
         return np.empty(0, dtype=np.int64)
     x0, y1 = lonlat_to_xy(np.array([west]), np.array([south]), level)
     x1, y0 = lonlat_to_xy(np.array([east]), np.array([north]), level)
-    xs = np.arange(int(x0[0]), int(x1[0]) + 1, dtype=np.int64)
+    n = np.int64(1) << np.int64(level)
+    if west > east:
+        xs = np.unique(
+            np.concatenate(
+                [
+                    np.arange(int(x0[0]), int(n), dtype=np.int64),
+                    np.arange(0, int(x1[0]) + 1, dtype=np.int64),
+                ]
+            )
+        )
+    else:
+        xs = np.arange(int(x0[0]), int(x1[0]) + 1, dtype=np.int64)
     ys = np.arange(int(y0[0]), int(y1[0]) + 1, dtype=np.int64)
     gx, gy = np.meshgrid(xs, ys)
     cells = interleave_xy(gx.ravel(), gy.ravel())

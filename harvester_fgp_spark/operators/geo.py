@@ -138,6 +138,16 @@ def haversine_km_col(
     return F.lit(2.0 * EARTH_RADIUS_KM) * F.atan2(F.sqrt(a), F.sqrt(1 - a))
 
 
+def bbox_center_lon_col(west: Column, east: Column) -> Column:
+    """Antimeridian-aware bbox center longitude, native (mirrors
+    geo.cells.bbox_center_lon): plain midpoint when west <= east, wrapped
+    midpoint normalized to (-180, 180] when the box crosses the dateline."""
+    raw = (west + east) / F.lit(2.0)
+    m = raw + F.lit(180.0)
+    m = F.when(m > 180.0, m - F.lit(360.0)).otherwise(m)
+    return F.when(west <= east, raw).otherwise(m)
+
+
 # --- G7: point -> web-mercator tile (NATIVE) --------------------------------------
 
 

@@ -73,6 +73,42 @@ BOXES_SQL = f"""
 """
 
 
+# Antimeridian fixtures (round 3): i % 3 == 0 rows are ordinary boxes,
+# the rest CROSS the dateline (west > east, ISO 19115-legal) — both
+# branches of the wrap-aware cover logic get exercised in one query.
+N_WRAP_BOXES = 18
+
+
+def wrapped_boxes(spark: SparkSession) -> DataFrame:
+    i = F.col("id")
+    wrapped = (i % 3) != 0
+    return spark.range(N_WRAP_BOXES).select(
+        i.alias("box_id"),
+        F.when(wrapped, ((i * 13) % 25 + F.lit(150)).cast("double"))
+        .otherwise(((i * 13) % 25 - F.lit(40)).cast("double"))
+        .alias("west"),
+        ((i * 5) % 40 - F.lit(20)).cast("double").alias("south"),
+        F.when(wrapped, ((i * 11) % 25 - F.lit(180)).cast("double"))
+        .otherwise(((i * 13) % 25 - F.lit(40) + (i % 6) + F.lit(3)).cast("double"))
+        .alias("east"),
+        ((i * 5) % 40 - F.lit(20) + (i % 6) + F.lit(3))
+        .cast("double")
+        .alias("north"),
+    )
+
+
+WRAP_BOXES_SQL = f"""
+    SELECT i AS box_id,
+           CAST(CASE WHEN i % 3 != 0 THEN (i * 13) % 25 + 150
+                     ELSE (i * 13) % 25 - 40 END AS DOUBLE) AS west,
+           CAST((i * 5) % 40 - 20 AS DOUBLE) AS south,
+           CAST(CASE WHEN i % 3 != 0 THEN (i * 11) % 25 - 180
+                     ELSE (i * 13) % 25 - 40 + (i % 6) + 3 END AS DOUBLE) AS east,
+           CAST((i * 5) % 40 - 20 + (i % 6) + 3 AS DOUBLE) AS north
+    FROM range({N_WRAP_BOXES}) t(i)
+"""
+
+
 def grid_xy_cols(lon: F.Column, lat: F.Column, level: int) -> tuple[F.Column, F.Column]:
     """Level-k grid quantization as NATIVE expressions (mirrors
     geo.cells.lonlat_to_xy, same IEEE op order as GRID_XY_SQL)."""

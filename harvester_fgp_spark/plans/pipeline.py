@@ -80,7 +80,8 @@ def _fused_mine_match(bidx, keep_text: bool = True):
                 continue
             is_pt = kind == "point"
             pt_lat = np.where(is_pt, lat, (south + north) / 2.0)
-            pt_lon = np.where(is_pt, lon, (west + east) / 2.0)
+            # wrap-aware center: west > east = antimeridian bbox
+            pt_lon = np.where(is_pt, lon, _cells.bbox_center_lon(west, east))
             data: dict = {
                 "url": pdf["url"].to_numpy()[rows_i],
                 "warc_ts": pdf["warc_ts"].to_numpy()[rows_i],
@@ -150,7 +151,7 @@ def mine_records(
         ).withColumn(
             "pt_lon",
             F.when(F.col("kind") == "point", F.col("lon")).otherwise(
-                (F.col("west") + F.col("east")) / 2
+                G.bbox_center_lon_col(F.col("west"), F.col("east"))
             ),
         )
         df = df.select(

@@ -52,7 +52,7 @@ def stream_tile_counts(
     ).withColumn(
         "pt_lon",
         F.when(F.col("kind") == "point", F.col("lon")).otherwise(
-            (F.col("west") + F.col("east")) / 2
+            G.bbox_center_lon_col(F.col("west"), F.col("east"))
         ),
     )
     tx, ty = G.tile_cols(F.col("pt_lon"), F.col("pt_lat"), tile_z)

@@ -51,8 +51,17 @@ def test_mine_payloads_point_and_bbox():
 def test_mine_payloads_rejects_out_of_range():
     assert T.mine_payloads("999.0, 999.0") == []
     assert (
-        T.mine_payloads("west: 10 east: -10 south: 0 north: 5") == []
-    )  # inverted box dropped
+        T.mine_payloads("west: 10 east: -10 south: 5 north: 0") == []
+    )  # south > north is degenerate — dropped
+
+
+def test_mine_payloads_accepts_antimeridian_bbox():
+    """west > east is a LEGAL dateline-crossing bbox (ISO 19115) — a
+    Fiji/Alaska page must yield a payload (round-3 fix: it was silently
+    dropped by every miner variant)."""
+    got = T.mine_payloads("west: 177.0 east: -178.0 south: -20.0 north: -15.0")
+    assert [p["kind"] for p in got] == ["bbox"]
+    assert got[0]["west"] == 177.0 and got[0]["east"] == -178.0
 
 
 def test_mine_payloads_bbox_numbers_not_remined_as_points():
