@@ -117,20 +117,41 @@ class PolygonIndex:
 
     ``match_points`` = candidate generation (R-tree) + exact ray-cast PIP,
     all numpy. Returns (point_idx, polygon_idx) matched pairs.
+
+    Each polygon is a LIST of rings interpreted with even-odd semantics
+    (round 3): containment = XOR of the per-ring ray casts. That covers
+    holes (outer XOR hole = annulus) AND disjoint multipolygon parts
+    (inside exactly one part => odd) with a single rule — the natural
+    even-odd extension of the Franklin crossing test, no ring
+    orientation/winding bookkeeping needed. A bare ``(rx, ry)`` tuple is
+    accepted as the 1-ring case (round-2 call sites unchanged).
     """
 
     def __init__(
-        self, polygon_ids: list[str], rings: list[tuple[np.ndarray, np.ndarray]]
+        self,
+        polygon_ids: list[str],
+        rings: list,  # per polygon: (rx, ry) | [(rx, ry), ...]
     ) -> None:
         self.polygon_ids = list(polygon_ids)
-        self.rings = [
-            (np.asarray(rx, dtype=np.float64), np.asarray(ry, dtype=np.float64))
-            for rx, ry in rings
-        ]
-        minx = np.array([rx.min() for rx, _ in self.rings])
-        maxx = np.array([rx.max() for rx, _ in self.rings])
-        miny = np.array([ry.min() for _, ry in self.rings])
-        maxy = np.array([ry.max() for _, ry in self.rings])
+        self.rings: list[list[tuple[np.ndarray, np.ndarray]]] = []
+        for poly in rings:
+            if isinstance(poly, tuple):
+                poly = [poly]
+            self.rings.append(
+                [
+                    (
+                        np.asarray(rx, dtype=np.float64),
+                        np.asarray(ry, dtype=np.float64),
+                    )
+                    for rx, ry in poly
+                ]
+            )
+        # candidate bbox spans ALL rings (multipolygon parts extend it;
+        # holes are interior so they never do, but min/max is harmless)
+        minx = np.array([min(rx.min() for rx, _ in p) for p in self.rings])
+        maxx = np.array([max(rx.max() for rx, _ in p) for p in self.rings])
+        miny = np.array([min(ry.min() for _, ry in p) for p in self.rings])
+        maxy = np.array([max(ry.max() for _, ry in p) for p in self.rings])
         self.tree = PackedRTree(minx, miny, maxx, maxy)
 
     def match_points(
@@ -141,7 +162,8 @@ class PolygonIndex:
             return pts, polys
         keep = np.zeros(len(pts), dtype=bool)
         # Group candidate pairs by polygon: one vectorized ray cast per
-        # polygon over all its candidate points (polygon count is small).
+        # (polygon, ring) over all its candidate points (polygon count is
+        # small); even-odd across rings via XOR.
         order = np.argsort(polys, kind="stable")
         pts_s, polys_s = pts[order], polys[order]
         bounds = np.searchsorted(polys_s, np.arange(len(self.rings) + 1))
@@ -149,6 +171,9 @@ class PolygonIndex:
         lat = np.asarray(lat, dtype=np.float64)
         for poly in np.unique(polys_s):
             lo, hi = bounds[poly], bounds[poly + 1]
-            rx, ry = self.rings[poly]
-            keep[order[lo:hi]] = points_in_ring(lon[pts_s[lo:hi]], lat[pts_s[lo:hi]], rx, ry)
+            px, py = lon[pts_s[lo:hi]], lat[pts_s[lo:hi]]
+            inside = np.zeros(hi - lo, dtype=bool)
+            for rx, ry in self.rings[poly]:
+                inside ^= points_in_ring(px, py, rx, ry)
+            keep[order[lo:hi]] = inside
         return pts[keep], polys[keep]

@@ -196,14 +196,22 @@ def packed_tile_col(z: Column, x: Column, y: Column) -> Column:
 
 
 def build_polygon_index(polygons_pdf: pd.DataFrame) -> _pip.PolygonIndex:
-    """polygons (FIXTURES.md §2 pandas form) -> broadcastable PolygonIndex."""
-    rings = [
-        (
+    """polygons (FIXTURES.md §2 pandas form) -> broadcastable PolygonIndex.
+
+    With a ``rings`` column (list of rings per polygon — holes and
+    multipolygon parts, round 3) every ring feeds the even-odd PIP;
+    otherwise the single ``ring`` column is the 1-ring case."""
+
+    def _xy(ring) -> tuple[np.ndarray, np.ndarray]:
+        return (
             np.array([p["x"] for p in ring], dtype=np.float64),
             np.array([p["y"] for p in ring], dtype=np.float64),
         )
-        for ring in polygons_pdf["ring"]
-    ]
+
+    if "rings" in polygons_pdf.columns:
+        rings = [[_xy(r) for r in poly] for poly in polygons_pdf["rings"]]
+    else:
+        rings = [_xy(ring) for ring in polygons_pdf["ring"]]
     return _pip.PolygonIndex(polygons_pdf["polygon_id"].tolist(), rings)
 
 

@@ -126,37 +126,63 @@ def generate_pages(n: int, seed: int = 42) -> pd.DataFrame:
     )
 
 
-def generate_polygons(n: int = 200, seed: int = 42) -> pd.DataFrame:
-    """FIXTURES.md §2: convex-ish rings over Canada, a few concave."""
+def generate_polygons(
+    n: int = 200, seed: int = 42, holes: bool = False
+) -> pd.DataFrame:
+    """FIXTURES.md §2: convex-ish rings over Canada, a few concave.
+
+    ``holes=True`` (round 3) adds a ``rings`` column (list of rings per
+    polygon, even-odd semantics): every 3rd polygon gets a concentric
+    hole (donut), every 5th a second disjoint part (multipolygon). The
+    default output is byte-identical to round 2 (golden-stable); the
+    ``ring`` column always stays the outer ring.
+    """
     rng = np.random.default_rng(seed)
     rows = []
+
+    def _ring(cx, cy, radius, k, concave=False, flat=0.6):
+        ang = np.sort(rng.uniform(0.0, 2 * np.pi, k))
+        r = np.full(k, radius)
+        if concave:
+            r[::2] *= 0.35
+        xs = np.clip(cx + r * np.cos(ang), -179.99, 179.99)
+        ys = np.clip(cy + r * np.sin(ang) * flat, -89.99, 89.99)
+        ring = [{"x": float(x), "y": float(y)} for x, y in zip(xs, ys)]
+        ring.append(ring[0])  # close
+        return ring, xs, ys
+
     for i in range(n):
         cx = rng.uniform(-140.0, -53.0)
         cy = rng.uniform(43.0, 69.0)
         radius = rng.uniform(0.1, 5.0)
         k = int(rng.integers(5, 13))
-        ang = np.sort(rng.uniform(0.0, 2 * np.pi, k))
-        r = np.full(k, radius)
-        if i % 17 == 0:  # deliberately concave
-            r[:: 2] *= 0.35
-        xs = cx + r * np.cos(ang)
-        ys = cy + r * np.sin(ang) * 0.6  # flatten: lat extent < lon extent
-        xs = np.clip(xs, -179.99, 179.99)
-        ys = np.clip(ys, -89.99, 89.99)
-        ring = [{"x": float(x), "y": float(y)} for x, y in zip(xs, ys)]
-        ring.append(ring[0])  # close
-        rows.append(
-            {
-                "polygon_id": f"coll-{i:04d}",
-                "name_en": f"Collection {i}",
-                "name_fr": f"Collection {i} (fr)",
-                "ring": ring,
-                "minx": float(xs.min()),
-                "miny": float(ys.min()),
-                "maxx": float(xs.max()),
-                "maxy": float(ys.max()),
-            }
-        )
+        ring, xs, ys = _ring(cx, cy, radius, k, concave=(i % 17 == 0))
+        row = {
+            "polygon_id": f"coll-{i:04d}",
+            "name_en": f"Collection {i}",
+            "name_fr": f"Collection {i} (fr)",
+            "ring": ring,
+            "minx": float(xs.min()),
+            "miny": float(ys.min()),
+            "maxx": float(xs.max()),
+            "maxy": float(ys.max()),
+        }
+        if holes:
+            rings = [ring]
+            if i % 3 == 0:
+                hole, _, _ = _ring(cx, cy, radius * 0.4, k)
+                rings.append(hole)
+            if i % 5 == 0:
+                part, pxs, pys = _ring(
+                    cx + radius * 4.0, cy, radius * 0.8, k
+                )
+                rings.append(part)
+                row["minx"] = min(row["minx"], float(pxs.min()))
+                row["maxx"] = max(row["maxx"], float(pxs.max()))
+                row["miny"] = min(row["miny"], float(pys.min()))
+                row["maxy"] = max(row["maxy"], float(pys.max()))
+            row["rings"] = rings
+        rows.append(row)
     return pd.DataFrame(rows)
 
 

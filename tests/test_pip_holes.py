@@ -1,0 +1,106 @@
+"""Multi-ring polygons (round 3): even-odd PIP over holes and
+multipolygon parts must equal the brute-force per-ring XOR, and donut
+interiors must genuinely exclude points."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from harvester_fgp_spark.geo.pip import PolygonIndex, points_in_ring
+from harvester_fgp_spark.operators.geo import build_polygon_index
+from harvester_fgp_spark.synth import generate_polygons
+
+
+def _brute(polys, lon, lat):
+    pairs = set()
+    for pi, rings in enumerate(polys):
+        inside = np.zeros(len(lon), dtype=bool)
+        for rx, ry in rings:
+            inside ^= points_in_ring(lon, lat, rx, ry)
+        for qi in np.nonzero(inside)[0]:
+            pairs.add((int(qi), pi))
+    return pairs
+
+
+def test_even_odd_matches_brute_force_on_random_multiring():
+    rng = np.random.default_rng(21)
+    polys = []
+    for _ in range(40):
+        n_rings = int(rng.integers(1, 4))
+        rings = []
+        cx, cy = rng.uniform(-50, 50, 2)
+        for j in range(n_rings):
+            k = int(rng.integers(4, 9))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+            rad = rng.uniform(1, 8) * (0.4**j)
+            rx = cx + rad * np.cos(ang) + (4.0 * j if j and rng.random() < 0.5 else 0)
+            ry = cy + rad * np.sin(ang)
+            rx = np.append(rx, rx[0])
+            ry = np.append(ry, ry[0])
+            rings.append((rx, ry))
+        polys.append(rings)
+    lon = rng.uniform(-60, 60, 800)
+    lat = rng.uniform(-60, 60, 800)
+    idx = PolygonIndex([f"p{i}" for i in range(len(polys))], polys)
+    pts, ps = idx.match_points(lon, lat)
+    got = set(zip(pts.tolist(), ps.tolist()))
+    assert got == _brute(polys, lon, lat)
+
+
+def test_donut_hole_excludes_center():
+    outer = (
+        np.array([0.0, 10.0, 10.0, 0.0, 0.0]),
+        np.array([0.0, 0.0, 10.0, 10.0, 0.0]),
+    )
+    hole = (
+        np.array([3.0, 7.0, 7.0, 3.0, 3.0]),
+        np.array([3.0, 3.0, 7.0, 7.0, 3.0]),
+    )
+    part = (
+        np.array([20.0, 24.0, 24.0, 20.0, 20.0]),
+        np.array([0.0, 0.0, 4.0, 4.0, 0.0]),
+    )
+    idx = PolygonIndex(["donut"], [[outer, hole, part]])
+    lon = np.array([5.0, 1.0, 8.0, 22.0, 15.0])
+    lat = np.array([5.0, 1.0, 8.0, 2.0, 2.0])
+    pts, _ = idx.match_points(lon, lat)
+    # center (5,5) is IN the hole -> excluded; (1,1)/(8,8) in the annulus;
+    # (22,2) in the disjoint part; (15,2) outside everything
+    assert sorted(pts.tolist()) == [1, 2, 3]
+
+
+def test_single_ring_tuple_backcompat():
+    ring = (
+        np.array([0.0, 4.0, 4.0, 0.0, 0.0]),
+        np.array([0.0, 0.0, 4.0, 4.0, 0.0]),
+    )
+    idx = PolygonIndex(["a"], [ring])  # bare tuple, round-2 call shape
+    pts, _ = idx.match_points(np.array([2.0, 9.0]), np.array([2.0, 9.0]))
+    assert pts.tolist() == [0]
+
+
+def test_build_polygon_index_with_holes_fixture():
+    pdf = generate_polygons(30, seed=11, holes=True)
+    assert "rings" in pdf.columns
+    idx = build_polygon_index(pdf)
+    # donut polygons carry >1 ring
+    assert any(len(r) > 1 for r in idx.rings)
+    # a point in polygon 0's hole center must NOT match polygon 0
+    row = pdf.iloc[0]
+    assert len(row["rings"]) >= 2  # i % 3 == 0 and i % 5 == 0 -> hole + part
+    cx = float(np.mean([p["x"] for p in row["rings"][0][:-1]]))
+    cy = float(np.mean([p["y"] for p in row["rings"][0][:-1]]))
+    _, polys = idx.match_points(np.array([cx]), np.array([cy]))
+    assert 0 not in polys.tolist()
+
+
+def test_default_fixture_unchanged_by_refactor():
+    """holes=False output must stay byte-identical (golden stability)."""
+    pdf = generate_polygons(8, seed=42)
+    assert "rings" not in pdf.columns
+    # spot-check a stable value against the committed golden's lineage:
+    # same rng consumption order as round 2
+    r0 = pdf.iloc[0]
+    assert r0["polygon_id"] == "coll-0000"
+    assert len(r0["ring"]) >= 6 and r0["ring"][0] == r0["ring"][-1]
