@@ -168,6 +168,55 @@ def _q_tile_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_group_stats(tiled)
 
 
+def _q_tile_centroid_gagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 via the GROUPED_AGG pandas-UDF surface (SURVEY §2.11, exercised
+    round 3): the per-tile centroid as a Series->scalar aggregate UDF
+    sitting INSIDE groupBy().agg next to native count — the lightweight
+    sibling of the grouped-map path (tile_group_stats), same integer
+    centi-degree exactness contract and the same DuckDB longhand."""
+    from harvester_fgp_spark.operators.groupstats import (
+        centideg_mean_agg,
+        count_agg,
+    )
+
+    pts = D.points_from_documents(spark, sf_dir)
+    tx, ty = G.tile_cols(F.col("lon"), F.col("lat"), A4_TILE_Z)
+    tiled = pts.select(
+        tx.cast("long").alias("tile_x"),
+        ty.cast("long").alias("tile_y"),
+        "lat",
+        "lon",
+    )
+    return tiled.groupBy("tile_x", "tile_y").agg(
+        count_agg("lat").alias("n_points"),
+        centideg_mean_agg("lat").alias("centroid_lat"),
+        centideg_mean_agg("lon").alias("centroid_lon"),
+    )
+
+
+def _q_media_meta_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata via mapInArrow (SURVEY §2.11 surface, round 3):
+    RecordBatch in, RecordBatch out, no pandas materialization — output
+    row-identical to the mapInPandas path, checked by the same oracle."""
+    from harvester_fgp_spark.operators.multimodal import extract_media_meta_arrow
+
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+    )
+    meta = extract_media_meta_arrow(media)
+    return meta.select(
+        "media_id",
+        "n_bytes",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "sha",
+    )
+
+
 def _q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5/G6/W1: 3 nearest box centroids per sampled point (haversine)."""
     pts = D.points_from_documents(spark, sf_dir).filter(
@@ -1114,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn": _q_geo_knn,
         "geo_knn_exact": _q_geo_knn_exact,
         "tile_group_stats": _q_tile_group_stats,
+        "tile_centroid_gagg": _q_tile_centroid_gagg,
         "geo_haversine_within": _q_geo_haversine_within,
         "geo_bbox_cover": _q_geo_bbox_cover,
         "geo_bbox_cover_wrap": _q_geo_bbox_cover_wrap,
@@ -1132,7 +1182,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _q_sim_cosine_topk,
         "vocab_map": _q_vocab_map,
         "window_lag_delta": _q_window_lag_delta,
-        "array_agg_sorted": _q_array_agg_sorted,
         "array_pipeline_orders": _q_array_pipeline,
         "join_full_outer_nations": _q_join_full_outer,
         "sim_near_dup": _q_sim_near_dup,
@@ -1140,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _q_asof_join,
         "interval_join_events": _q_interval_join,
         "media_meta": _q_media_meta,
+        "media_meta_arrow": _q_media_meta_arrow,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram": _q_dedup_ngram,
@@ -1150,9 +1200,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitwise_agg_events": _q_bitwise_aggs,
         "sessionize_events": _q_sessionize,
         "string_distance": _q_string_distance,
-        "stats_median": _q_stats_median,
         "text_analysis": _q_text_analysis,
         # --- tail: redundant-family variants, r02-green, local-gate-only ---
+        "stats_median": _q_stats_median,
+        "array_agg_sorted": _q_array_agg_sorted,
         "join_regions": _q_join_regions,
         "set_intersect_custkeys": _q_set_intersect,
         "cube_events": _q_cube_events,
@@ -1444,6 +1495,27 @@ def oracle_sql() -> dict[str, str]:
                    MIN(lat) AS min_lat, MAX(lat) AS max_lat,
                    MIN(lon) AS min_lon, MAX(lon) AS max_lon
             FROM tiled GROUP BY 1, 2
+        """,
+        "tile_centroid_gagg": f"""
+            WITH pts AS ({pts}),
+            tiled AS (
+                SELECT {a4_tile_x} AS tile_x, {a4_tile_y} AS tile_y, lat, lon
+                FROM pts
+            )
+            SELECT tile_x, tile_y, COUNT(*) AS n_points,
+                   CAST(SUM(CAST(FLOOR(lat * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / (100.0 * COUNT(*)) AS centroid_lat,
+                   CAST(SUM(CAST(FLOOR(lon * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / (100.0 * COUNT(*)) AS centroid_lon
+            FROM tiled GROUP BY 1, 2
+        """,
+        "media_meta_arrow": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(octet_length(encode(text)) % 1920 + 1 AS BIGINT) AS width,
+                   CAST(octet_length(encode(text)) % 1080 + 1 AS BIGINT) AS height,
+                   sha256(text) AS sha
+            FROM documents
         """,
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,

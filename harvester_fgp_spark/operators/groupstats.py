@@ -72,6 +72,30 @@ def _tile_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# --- GROUPED_AGG surface (SURVEY §2.11, exercised round 3) -------------------
+# A pandas_udf whose kernel reduces a Series to a scalar registers as a
+# grouped-aggregate UDF: usable inside groupBy().agg(...) next to native
+# aggregates (and over windows), with Spark handling the grouping — the
+# lighter-weight sibling of the grouped-map path above when the reduction
+# is per-column. Same exactness contract: integer centi-degree sum with
+# the explicit floor(x*100 + 0.5) tie-break, one exact IEEE division.
+from pyspark.sql.pandas.functions import pandas_udf
+
+
+@pandas_udf(DoubleType())
+def centideg_mean_agg(v: pd.Series) -> float:
+    a = np.floor(v.to_numpy(dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+    return float(a.sum() / (100.0 * len(a)))
+
+
+# Spark refuses to mix GROUPED_AGG pandas UDFs with native aggregates in
+# one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the count rides the same
+# surface when used alongside centideg_mean_agg.
+@pandas_udf(LongType())
+def count_agg(v: pd.Series) -> int:
+    return len(v)
+
+
 def tile_group_stats(points_tiled: DataFrame) -> DataFrame:
     """(tile_x, tile_y, lat, lon) -> per-tile centroid + bbox union (A4).
 

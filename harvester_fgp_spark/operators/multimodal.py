@@ -92,6 +92,50 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
     return narrow.mapInPandas(_decode, MEDIA_META_SCHEMA)
 
 
+def extract_media_meta_arrow(media: DataFrame) -> DataFrame:
+    """mapInArrow twin of ``extract_media_meta`` (SURVEY §2.11 surface,
+    exercised round 3): the batch arrives as a pyarrow RecordBatch —
+    no pandas materialization at all — and the decode fake runs as numpy
+    over the arrow buffers. Output is row-identical to the mapInPandas
+    path (same driver oracle); the pandas variant remains the default
+    because real decoders (PIL/cv2) want Python objects anyway.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    narrow = media.select("media_id", "kind", "mime", "payload").withColumn(
+        "n_bytes", F.length("payload").cast("long")
+    ).withColumn("sha", F.sha2(F.col("payload"), 256))
+
+    def _decode(batches):
+        for b in batches:
+            nb = b.column("n_bytes").to_numpy(zero_copy_only=False)
+            kind = b.column("kind").to_pylist()
+            is_img = np.array([k == "image" for k in kind]) & ~pd.isna(nb)
+            nbi = np.where(pd.isna(nb), 0, nb).astype(np.int64)
+            # matches _decode_image exactly, incl. the empty-payload (0,0)
+            w = np.where(nbi == 0, 0, nbi % 1920 + 1).astype(np.int32)
+            h = np.where(nbi == 0, 0, nbi % 1080 + 1).astype(np.int32)
+            mask = ~is_img
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("media_id"),
+                    b.column("kind"),
+                    b.column("mime"),
+                    b.column("n_bytes"),
+                    pa.array(w, type=pa.int32(), mask=mask),
+                    pa.array(h, type=pa.int32(), mask=mask),
+                    b.column("sha"),
+                ],
+                names=[
+                    "media_id", "kind", "mime", "n_bytes",
+                    "width", "height", "sha",
+                ],
+            )
+
+    return narrow.mapInArrow(_decode, MEDIA_META_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

@@ -55,6 +55,23 @@ def test_udf_stages_are_arrow_batched(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_grouped_agg_surface_plans_as_pandas_aggregate(spark, sf_dir):
+    """§2.11 GROUPED_AGG (round 3): centideg_mean_agg must plan as an
+    AggregateInPandas node (true grouped-agg surface, not grouped-map)."""
+    plan = _plan(E.queries()["tile_centroid_gagg"](spark, sf_dir))
+    # Spark 4 names the node ArrowAggregatePython (3.x: AggregateInPandas)
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_map_in_arrow_surface_plans_as_arrow_node(spark, sf_dir):
+    """§2.11 mapInArrow (round 3): exactly one Arrow map node, and the
+    native byte-length/sha parts stay OUT of it (computed JVM-side)."""
+    plan = _plan(E.queries()["media_meta_arrow"](spark, sf_dir))
+    assert plan.count("PythonMapInArrow") == 1 or plan.count("MapInArrow") >= 1
+    assert "FlatMapGroupsInPandas" not in plan
+
+
 def test_pipeline_has_single_fused_python_stage(spark):
     """The whole extract->mine->explode->PIP portion is ONE Python stage
     (worker-per-UDF-node cost dominated scaling — see plans.pipeline),
