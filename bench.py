@@ -113,7 +113,7 @@ def main() -> None:
     pipeline_sec = min(runs)
     pages_per_sec = N_PAGES / pipeline_sec
 
-    # operator queries at the driver sf dir — min of 2 runs each: the
+    # operator queries at the driver sf dir — min of 3 runs each: the
     # first execution of a query with a new Python stage pays worker
     # spawn, and this host has ±30% run-to-run noise; steady state is
     # what a long-running cluster job sees
@@ -121,7 +121,7 @@ def main() -> None:
     timings: dict[str, float] = {"pipeline_spatial": round(pipeline_sec, 3)}
     for name in BENCH_QUERIES:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.monotonic() - t0)
