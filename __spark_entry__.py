@@ -1067,6 +1067,33 @@ def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering (round 3): exact n-gram pairs -> connected
+    components via iterative min-label propagation -> per-cluster
+    membership stats. The oracle re-derives the SAME pairs in SQL and
+    closes them with a recursive CTE — an exact cross-engine check of an
+    ITERATIVE distributed algorithm."""
+    from harvester_fgp_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 10000)
+    ).unionByName(docs.withColumn("doc_id", F.col("doc_id") + 20000))
+    edges = ngram_jaccard_pairs(corpus, threshold=0.9).select("id_a", "id_b")
+    cc = connected_components(corpus.select("doc_id"), edges)
+    return cc.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum("doc_id").alias("sum_members"),
+    )
+
+
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from harvester_fgp_spark.operators.dedup import minhash_near_dup_pairs
 
@@ -1178,7 +1205,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": _q_json_props,
         "dedup_exact": _q_dedup_exact,
         "text_tokens": _q_text_tokens,
-        "multimodal_binary": _q_multimodal_binary,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "vocab_map": _q_vocab_map,
         "window_lag_delta": _q_window_lag_delta,
@@ -1193,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram": _q_dedup_ngram,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_spans": _q_dedup_spans,
         "corpus_clean": _q_corpus_clean,
         "url_canonical": _q_url_canonical,
@@ -1202,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_distance": _q_string_distance,
         "text_analysis": _q_text_analysis,
         # --- tail: redundant-family variants, r02-green, local-gate-only ---
+        "multimodal_binary": _q_multimodal_binary,
         "stats_median": _q_stats_median,
         "array_agg_sorted": _q_array_agg_sorted,
         "join_regions": _q_join_regions,
@@ -1853,6 +1881,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.9
+        """,
+        "dedup_clusters": r"""
+            WITH RECURSIVE corpus AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 60
+                UNION ALL
+                SELECT doc_id + 10000, text FROM documents WHERE doc_id < 60
+                UNION ALL
+                SELECT doc_id + 20000, text FROM documents WHERE doc_id < 60
+            ),
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ws[i:i+2], ' ') AS gram
+                FROM w, UNNEST(range(1, GREATEST(len(ws) - 2, 1) + 1)) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.9
+            ),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+                SELECT doc_id AS v, doc_id AS r FROM corpus
+                UNION
+                SELECT e.v, reach.r FROM edges e JOIN reach ON reach.v = e.u
+            ),
+            cc AS (SELECT v, MIN(r) AS cluster_id FROM reach GROUP BY v)
+            SELECT cluster_id, COUNT(*) AS n_members,
+                   CAST(SUM(v) AS BIGINT) AS sum_members
+            FROM cc GROUP BY cluster_id
         """,
         "string_distance": """
             SELECT n_nationkey, r_regionkey,

@@ -68,37 +68,43 @@ def unpack_tile(tid: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return (t >> np.int64(58)), (t >> np.int64(29)) & mask, t & mask
 
 
-def rasterize_ring_to_tiles(
-    ring_x: np.ndarray, ring_y: np.ndarray, z: int = DEFAULT_TILE_Z
+def rasterize_rings_to_tiles(
+    rings: list, z: int = DEFAULT_TILE_Z
 ) -> np.ndarray:
-    """Polygon -> set of packed tile ids it intersects (G7 raster<->vector).
+    """Multi-ring polygon -> set of packed tile ids it intersects (G7
+    raster<->vector; even-odd across rings since round 3, matching the
+    PIP index's semantics).
 
-    Conservative scanline over the tile grid of the ring's bbox: a tile is
-    emitted if the polygon's bbox overlaps it AND (tile center in polygon
-    OR any ring vertex in tile OR any ring edge crosses the tile row).
-    For the bounded collection-polygon sizes this engine joins against
-    (FIXTURES.md §2: radii <= 5°), bbox-grid enumeration is exact enough
-    for candidate generation and is fully vectorized per polygon.
+    Conservative scanline over the tile grid of the all-rings bbox: a
+    tile is emitted if its center is inside under the even-odd rule
+    (XOR of per-ring ray casts — holes punch out interior tiles) OR it
+    contains any ring vertex (every boundary tile, including hole
+    boundaries, genuinely touches the polygon). For the bounded
+    collection-polygon sizes this engine joins against (FIXTURES.md §2:
+    radii <= 5°), bbox-grid enumeration is exact enough for candidate
+    generation and is fully vectorized per polygon.
     """
     from .pip import points_in_ring
 
-    w, e = float(np.min(ring_x)), float(np.max(ring_x))
-    s, n = float(np.min(ring_y)), float(np.max(ring_y))
+    w = min(float(np.min(rx)) for rx, _ in rings)
+    e = max(float(np.max(rx)) for rx, _ in rings)
+    s = min(float(np.min(ry)) for _, ry in rings)
+    n = max(float(np.max(ry)) for _, ry in rings)
     x0, y0 = point_to_tile(np.array([w]), np.array([n]), z)  # NW corner
     x1, y1 = point_to_tile(np.array([e]), np.array([s]), z)  # SE corner
     xs = np.arange(int(x0[0]), int(x1[0]) + 1, dtype=np.int64)
     ys = np.arange(int(y0[0]), int(y1[0]) + 1, dtype=np.int64)
     gx, gy = np.meshgrid(xs, ys)
     gx, gy = gx.ravel(), gy.ravel()
-    # Tile is kept if its center is in the ring OR the ring bbox fully
-    # covers it (degenerate small polygons keep at least their own tiles).
     nf = float(1 << z)
     cx = (gx + 0.5) / nf * 360.0 - 180.0
     cy = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (gy + 0.5) / nf))))
-    inside = points_in_ring(cx, cy, ring_x, ring_y)
-    # Also keep tiles containing any ring vertex (edge tiles).
-    vx, vy = point_to_tile(ring_x, ring_y, z)
-    vset = set(zip(vx.tolist(), vy.tolist()))
+    inside = np.zeros(len(gx), dtype=bool)
+    vset: set = set()
+    for ring_x, ring_y in rings:
+        inside ^= points_in_ring(cx, cy, ring_x, ring_y)
+        vx, vy = point_to_tile(ring_x, ring_y, z)
+        vset.update(zip(vx.tolist(), vy.tolist()))
     on_edge = np.fromiter(
         (pair in vset for pair in zip(gx.tolist(), gy.tolist())),
         dtype=bool,
@@ -108,3 +114,10 @@ def rasterize_ring_to_tiles(
     tids = pack_tile(np.full(keep.sum(), z, dtype=np.int64), gx[keep], gy[keep])
     tids.sort()
     return tids
+
+
+def rasterize_ring_to_tiles(
+    ring_x: np.ndarray, ring_y: np.ndarray, z: int = DEFAULT_TILE_Z
+) -> np.ndarray:
+    """Single-ring wrapper (round-2 surface) over the multi-ring kernel."""
+    return rasterize_rings_to_tiles([(ring_x, ring_y)], z)

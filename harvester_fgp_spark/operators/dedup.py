@@ -324,6 +324,66 @@ def duplicate_span_counts(
     )
 
 
+def connected_components(
+    ids: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over a pair graph —
+    the step after any pairwise dedup op ("keep one doc per cluster").
+
+    Iterative min-label propagation: every node starts as its own label;
+    each round a node takes the min of its own and its neighbors' labels;
+    converged when no label changes. Rounds needed = component diameter
+    (near-dup components are cliques/short chains, so 2-3 in practice);
+    the classic large-star/small-star contraction is the drop-in upgrade
+    if a corpus ever shows deep chains.
+
+    Scale shape: per round, one equi-join edges x labels + one groupBy
+    min — all shuffles on 8-byte keys. Each round persists its label
+    frame and unpersists the previous one (the convergence count is the
+    materializing action, so the unpersist is safe); without that, the
+    doubled self-reference per round would make lineage recompute
+    exponential. The RETURNED frame is the final persisted iteration —
+    callers that keep the session alive long-term should unpersist it
+    after consuming.
+
+    Output: (id_col, cluster_id) for EVERY id — singletons cluster with
+    themselves; cluster_id = min member id.
+    """
+    labels = ids.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("lbl")
+    ).persist()
+    labels.count()
+    sym = edges.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(F.col("v").alias("u"), "lbl"), "u"
+            ).select("v", "lbl")
+        )
+        new_labels = (
+            labels.unionByName(nbr).groupBy("v").agg(F.min("lbl").alias("lbl"))
+        ).persist()
+        changed = (
+            new_labels.join(
+                labels.select("v", F.col("lbl").alias("_old")), "v"
+            )
+            .filter(F.col("lbl") != F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

@@ -265,26 +265,36 @@ def pip_join(
 
 
 def polygon_tiles(polygons: DataFrame, z: int = _tiles.DEFAULT_TILE_Z) -> DataFrame:
-    """Rasterize each polygon ring to the set of z-level tiles it covers.
+    """Rasterize each polygon to the set of z-level tiles it covers.
 
     mapInPandas over the ring arrays (scanline kernel in geo.tiles); tile
-    ids come back packed and are unpacked with native shifts. Output:
-    (polygon_id, tile_z, tile_x, tile_y), one row per covered tile.
+    ids come back packed and are unpacked with native shifts. A ``rings``
+    column (holes / multipolygon parts, round 3) rasterizes under the
+    same even-odd rule as the PIP index; otherwise the single ``ring``
+    column is used. Output: (polygon_id, tile_z, tile_x, tile_y), one
+    row per covered tile.
     """
+    multi = "rings" in polygons.columns
+    in_cols = ["polygon_id", "rings" if multi else "ring"]
+
+    def _xy(ring) -> tuple[np.ndarray, np.ndarray]:
+        return (
+            np.array([p["x"] for p in ring], dtype=np.float64),
+            np.array([p["y"] for p in ring], dtype=np.float64),
+        )
 
     def _rast(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pids: list[str] = []
             tids: list[int] = []
-            for pid, ring in zip(pdf["polygon_id"], pdf["ring"]):
-                rx = np.array([p["x"] for p in ring], dtype=np.float64)
-                ry = np.array([p["y"] for p in ring], dtype=np.float64)
-                t = _tiles.rasterize_ring_to_tiles(rx, ry, z)
+            for pid, poly in zip(pdf["polygon_id"], pdf[in_cols[1]]):
+                rings = [_xy(r) for r in poly] if multi else [_xy(poly)]
+                t = _tiles.rasterize_rings_to_tiles(rings, z)
                 pids.extend([pid] * len(t))
                 tids.extend(t.tolist())
             yield pd.DataFrame({"polygon_id": pids, "tile_id": tids})
 
-    raw = polygons.select("polygon_id", "ring").mapInPandas(
+    raw = polygons.select(*in_cols).mapInPandas(
         _rast, "polygon_id string, tile_id long"
     )
     mask = F.lit((1 << 29) - 1)

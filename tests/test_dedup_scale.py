@@ -155,3 +155,29 @@ def test_exact_near_dup_complete_across_random_thresholds(spark):
         }
         exp = {(r.ia, r.ib) for r in _brute_pairs(spark, emb, t).collect()}
         assert got == exp, f"t={t} dim={dim} n={n}: {got ^ exp}"
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Min-label propagation: multi-hop chain (diameter 6) collapses to
+    one cluster, disjoint pair to another, isolated node to itself —
+    and no cached label frames leak except the returned one."""
+    from harvester_fgp_spark.operators.dedup import connected_components
+
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    chain = [(i, i + 1) for i in range(6)]          # 0-1-2-3-4-5-6
+    extra = [(7, 8)]                                 # pair
+    edges = spark.createDataFrame(chain + extra, "id_a long, id_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(ids, edges).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0, 7: 7, 8: 7, 9: 9}
+
+
+def test_connected_components_empty_edges(spark):
+    from harvester_fgp_spark.operators.dedup import connected_components
+
+    ids = spark.createDataFrame([(3,), (5,)], "doc_id long")
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(ids, edges).collect()}
+    assert got == {3: 3, 5: 5}

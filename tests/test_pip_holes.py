@@ -104,3 +104,70 @@ def test_default_fixture_unchanged_by_refactor():
     r0 = pdf.iloc[0]
     assert r0["polygon_id"] == "coll-0000"
     assert len(r0["ring"]) >= 6 and r0["ring"][0] == r0["ring"][-1]
+
+
+def test_rasterize_donut_excludes_hole_interior():
+    """Even-odd rasterization: tiles whose center sits strictly inside the
+    hole (and that touch no ring vertex) are excluded; annulus and
+    boundary tiles stay; a disjoint part contributes its own tiles."""
+    from harvester_fgp_spark.geo.tiles import (
+        rasterize_ring_to_tiles,
+        rasterize_rings_to_tiles,
+        unpack_tile,
+    )
+
+    z = 8
+    outer = (
+        np.array([0.0, 20.0, 20.0, 0.0, 0.0]),
+        np.array([0.0, 0.0, 20.0, 20.0, 0.0]),
+    )
+    hole = (
+        np.array([6.0, 14.0, 14.0, 6.0, 6.0]),
+        np.array([6.0, 6.0, 14.0, 14.0, 6.0]),
+    )
+    part = (
+        np.array([30.0, 34.0, 34.0, 30.0, 30.0]),
+        np.array([0.0, 0.0, 4.0, 4.0, 0.0]),
+    )
+    solid = set(rasterize_ring_to_tiles(*outer, z).tolist())
+    donut = set(rasterize_rings_to_tiles([outer, hole, part], z).tolist())
+    # the hole carves tiles OUT of the solid cover
+    removed = solid - donut
+    assert removed, "hole removed nothing"
+    # every removed tile's center lies inside the hole
+    from harvester_fgp_spark.geo.pip import points_in_ring
+
+    zz, xx, yy = unpack_tile(np.array(sorted(removed)))
+    nf = float(1 << z)
+    cx = (xx + 0.5) / nf * 360.0 - 180.0
+    cy = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (yy + 0.5) / nf))))
+    assert points_in_ring(cx, cy, *hole).all()
+    # the disjoint part adds tiles beyond the solid bbox
+    added = donut - solid
+    _, ax, _ = unpack_tile(np.array(sorted(added)))
+    assert len(added) and (((ax + 0.5) / nf * 360.0 - 180.0) >= 29.0).all()
+
+
+def test_polygon_tiles_operator_multi_ring(spark):
+    from harvester_fgp_spark.operators.geo import polygon_tiles
+
+    pdf = generate_polygons(12, seed=13, holes=True)
+    import pyspark.sql.types as T
+
+    ring_t = T.ArrayType(
+        T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())])
+    )
+    schema = T.StructType(
+        [
+            T.StructField("polygon_id", T.StringType()),
+            T.StructField("rings", T.ArrayType(ring_t)),
+        ]
+    )
+    rows = [
+        (r.polygon_id, [[(p["x"], p["y"]) for p in ring] for ring in r.rings])
+        for r in pdf.itertuples()
+    ]
+    df = spark.createDataFrame(rows, schema=schema)
+    out = polygon_tiles(df, z=8)
+    assert out.count() > 0
+    assert out.select("polygon_id").distinct().count() == 12
