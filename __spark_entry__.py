@@ -217,6 +217,39 @@ def _q_media_meta_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_polygon_raster_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 raster<->vector, declarative variant (round 3): derived k-gons
+    -> web-mercator tile units (vertices rounded so libm trig cannot
+    drift across engines) -> rasterize_vertices_native (even-odd ray
+    cast as joins + parity aggregate, zero Python) — value-checked
+    against the same construction longhand in DuckDB. Graduates polygon
+    rasterization from rows-only to an exact oracle row."""
+    import math
+
+    z = 7
+    n = float(1 << z)
+    i = F.col("id")
+    polys = spark.range(12).select(
+        i.alias("pid"),
+        (((i * 17) % 80).cast("double") - F.lit(110.0)).alias("cx"),
+        (((i * 7) % 30).cast("double") + F.lit(40.0)).alias("cy"),
+        (F.lit(1.5) + (i % 5).cast("double") * F.lit(0.7)).alias("r"),
+        (F.lit(5) + (i % 4)).cast("int").alias("k"),
+    )
+    v = polys.withColumn("j", F.explode(F.sequence(F.lit(0), F.col("k") - 1)))
+    theta = F.lit(2.0 * math.pi) * F.col("j") / F.col("k")
+    lon = F.round(F.col("cx") + F.col("r") * F.cos(theta), 6)
+    lat = F.round(F.col("cy") + F.lit(0.6) * F.col("r") * F.sin(theta), 6)
+    vx = F.round((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n), 9)
+    t = F.tan(F.radians(lat))
+    asinh_t = F.log(t + F.sqrt(t * t + F.lit(1.0)))
+    vy = F.round(
+        (F.lit(1.0) - asinh_t / F.lit(math.pi)) / F.lit(2.0) * F.lit(n), 9
+    )
+    verts = v.select("pid", "k", "j", vx.alias("vx"), vy.alias("vy"))
+    return G.rasterize_vertices_native(verts, z)
+
+
 def _q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5/G6/W1: 3 nearest box centroids per sampled point (haversine)."""
     pts = D.points_from_documents(spark, sf_dir).filter(
@@ -1194,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_haversine_within": _q_geo_haversine_within,
         "geo_bbox_cover": _q_geo_bbox_cover,
         "geo_bbox_cover_wrap": _q_geo_bbox_cover_wrap,
+        "polygon_raster_sql": _q_polygon_raster_sql,
         # relational coverage
         "tpch_q1_pricing": _q_tpch_q1,
         "tpch_q3_revenue_topk": _q_tpch_q3,
@@ -1204,7 +1238,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except_customers": _q_set_except,
         "json_props": _q_json_props,
         "dedup_exact": _q_dedup_exact,
-        "text_tokens": _q_text_tokens,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "vocab_map": _q_vocab_map,
         "window_lag_delta": _q_window_lag_delta,
@@ -1229,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_distance": _q_string_distance,
         "text_analysis": _q_text_analysis,
         # --- tail: redundant-family variants, r02-green, local-gate-only ---
+        "text_tokens": _q_text_tokens,
         "multimodal_binary": _q_multimodal_binary,
         "stats_median": _q_stats_median,
         "array_agg_sorted": _q_array_agg_sorted,
@@ -1505,6 +1539,72 @@ def oracle_sql() -> dict[str, str]:
                    MIN(cover_cell) AS min_cell, MAX(cover_cell) AS max_cell
             FROM cells c JOIN t USING (box_id)
             GROUP BY 1, 2, 3
+        """,
+        "polygon_raster_sql": f"""
+            WITH p AS (
+                SELECT i AS pid,
+                       CAST((i * 17) % 80 AS DOUBLE) - 110.0 AS cx,
+                       CAST((i * 7) % 30 AS DOUBLE) + 40.0 AS cy,
+                       1.5 + CAST(i % 5 AS DOUBLE) * 0.7 AS r,
+                       5 + i % 4 AS k
+                FROM range(12) t(i)
+            ),
+            v0 AS (
+                SELECT pid, k, UNNEST(range(0, k)) AS j, cx, cy, r FROM p
+            ),
+            ll AS (
+                SELECT pid, k, j,
+                       ROUND(cx + r * COS(2 * PI() * j / k), 6) AS lon,
+                       ROUND(cy + 0.6 * r * SIN(2 * PI() * j / k), 6) AS lat
+                FROM v0
+            ),
+            vv AS (
+                SELECT pid, k, j,
+                       ROUND((lon + 180.0) / 360.0 * {float(1 << 7)}, 9) AS vx,
+                       ROUND((1.0 - LN(TAN(RADIANS(lat))
+                             + SQRT(TAN(RADIANS(lat)) * TAN(RADIANS(lat)) + 1.0))
+                             / PI()) / 2.0 * {float(1 << 7)}, 9) AS vy
+                FROM ll
+            ),
+            edges AS (
+                SELECT a.pid, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+                FROM vv a JOIN vv b
+                  ON a.pid = b.pid AND b.j = (a.j + 1) % a.k
+            ),
+            bbox AS (
+                SELECT pid,
+                       GREATEST(0, LEAST(127, CAST(FLOOR(MIN(vx)) AS BIGINT))) AS gx0,
+                       GREATEST(0, LEAST(127, CAST(FLOOR(MAX(vx)) AS BIGINT))) AS gx1,
+                       GREATEST(0, LEAST(127, CAST(FLOOR(MIN(vy)) AS BIGINT))) AS gy0,
+                       GREATEST(0, LEAST(127, CAST(FLOOR(MAX(vy)) AS BIGINT))) AS gy1
+                FROM vv GROUP BY pid
+            ),
+            cx0 AS (
+                SELECT pid, gy0, gy1, UNNEST(range(gx0, gx1 + 1)) AS gx FROM bbox
+            ),
+            cand AS (
+                SELECT pid, gx, UNNEST(range(gy0, gy1 + 1)) AS gy FROM cx0
+            ),
+            crossings AS (
+                SELECT c.pid, c.gx, c.gy,
+                       SUM(CASE WHEN ((y1 > c.gy + 0.5) != (y2 > c.gy + 0.5))
+                                 AND c.gx + 0.5 <
+                                     x1 + (c.gy + 0.5 - y1) * (x2 - x1) / (y2 - y1)
+                                THEN 1 ELSE 0 END) AS n_cross
+                FROM cand c JOIN edges e ON c.pid = e.pid
+                GROUP BY 1, 2, 3
+            ),
+            inside AS (
+                SELECT pid, gx, gy FROM crossings WHERE n_cross % 2 = 1
+            ),
+            vtiles AS (
+                SELECT DISTINCT pid,
+                       GREATEST(0, LEAST(127, CAST(FLOOR(vx) AS BIGINT))) AS gx,
+                       GREATEST(0, LEAST(127, CAST(FLOOR(vy) AS BIGINT))) AS gy
+                FROM vv
+            ),
+            tiles AS (SELECT * FROM inside UNION SELECT * FROM vtiles)
+            SELECT pid, gx AS tile_x, gy AS tile_y FROM tiles
         """,
         "tile_group_stats": f"""
             WITH pts AS ({pts}),

@@ -306,6 +306,80 @@ def polygon_tiles(polygons: DataFrame, z: int = _tiles.DEFAULT_TILE_Z) -> DataFr
     )
 
 
+def rasterize_vertices_native(verts: DataFrame, z: int) -> DataFrame:
+    """G7 raster<->vector, FULLY DECLARATIVE (round 3): polygon -> tile
+    set with zero Python — candidate tiles from the bbox grid, even-odd
+    ray cast as a join + parity aggregate, vertex tiles unioned in. The
+    whole plan is Catalyst joins/aggregates (broadcastable edge side),
+    which is the shape that survives 10^12 tiles — and, unlike the numpy
+    kernel, it is SQL-expressible, so the driver gate value-checks it
+    against a DuckDB longhand (polygon_raster_sql).
+
+    Input `verts`: one row per polygon vertex — (pid, k, j, vx, vy) with
+    k = vertex count, j = 0..k-1 in ring order, and (vx, vy) ALREADY in
+    continuous tile units at zoom `z` (web-mercator projection divided
+    into 2^z; tile cell = unit square, center = (gx+.5, gy+.5)). Ray
+    casting runs in that plane: same even-odd semantics as geo.pip,
+    exact IEEE arithmetic on the given vertices.
+    """
+    nmax = F.lit((1 << z) - 1).cast("long")
+    zero = F.lit(0).cast("long")
+
+    def _clamp(c: Column) -> Column:
+        return F.greatest(zero, F.least(nmax, F.floor(c).cast("long")))
+
+    a = verts.select(
+        "pid", "k", "j", F.col("vx").alias("x1"), F.col("vy").alias("y1")
+    ).alias("va")
+    b = verts.select(
+        F.col("pid").alias("pid_b"),
+        F.col("j").alias("jb"),
+        F.col("vx").alias("x2"),
+        F.col("vy").alias("y2"),
+    ).alias("vb")
+    edges = a.join(
+        b,
+        (F.col("va.pid") == F.col("pid_b"))
+        & (F.col("jb") == (F.col("va.j") + 1) % F.col("va.k")),
+    ).select("pid", "x1", "y1", "x2", "y2")
+
+    bbox = verts.groupBy("pid").agg(
+        _clamp(F.min("vx")).alias("gx0"),
+        _clamp(F.max("vx")).alias("gx1"),
+        _clamp(F.min("vy")).alias("gy0"),
+        _clamp(F.max("vy")).alias("gy1"),
+    )
+    cand = (
+        bbox.withColumn("gx", F.explode(F.sequence(F.col("gx0"), F.col("gx1"))))
+        .withColumn("gy", F.explode(F.sequence(F.col("gy0"), F.col("gy1"))))
+        .select("pid", "gx", "gy")
+    )
+    cxc = F.col("gx") + F.lit(0.5)
+    cyc = F.col("gy") + F.lit(0.5)
+    straddle = (F.col("y1") > cyc) != (F.col("y2") > cyc)
+    # the division only evaluates under the straddle guard (CaseWhen is
+    # lazy per row) — no ANSI divide-by-zero on horizontal edges
+    x_at = F.col("x1") + (cyc - F.col("y1")) * (F.col("x2") - F.col("x1")) / (
+        F.col("y2") - F.col("y1")
+    )
+    hit = F.when(straddle & (cxc < x_at), 1).otherwise(0)
+    inside = (
+        cand.join(edges, "pid")
+        .groupBy("pid", "gx", "gy")
+        .agg(F.sum(hit).alias("_crossings"))
+        .filter(F.col("_crossings") % 2 == 1)
+        .select("pid", "gx", "gy")
+    )
+    vtiles = verts.select(
+        "pid", _clamp(F.col("vx")).alias("gx"), _clamp(F.col("vy")).alias("gy")
+    )
+    return (
+        inside.unionByName(vtiles)
+        .distinct()
+        .select("pid", F.col("gx").alias("tile_x"), F.col("gy").alias("tile_y"))
+    )
+
+
 # --- G5: kNN via cell-prefix range join ----------------------------------------------
 
 

@@ -171,3 +171,29 @@ def test_polygon_tiles_operator_multi_ring(spark):
     out = polygon_tiles(df, z=8)
     assert out.count() > 0
     assert out.select("polygon_id").distinct().count() == 12
+
+
+def test_rasterize_vertices_native_square(spark):
+    """Declarative rasterizer sanity: a unit-aligned square in tile units
+    covers exactly its grid cells (interior by center test, boundary by
+    vertex tiles)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from harvester_fgp_spark.operators.geo import rasterize_vertices_native
+
+    # square [10.2, 13.8] x [20.2, 22.8] in tile units at z=6
+    vx = [10.2, 13.8, 13.8, 10.2]
+    vy = [20.2, 20.2, 22.8, 22.8]
+    verts = spark.createDataFrame(
+        pd.DataFrame(
+            {"pid": [0] * 4, "k": [4] * 4, "j": list(range(4)),
+             "vx": vx, "vy": vy}
+        )
+    )
+    got = {
+        (r.tile_x, r.tile_y)
+        for r in rasterize_vertices_native(verts, 6).collect()
+    }
+    exp = {(x, y) for x in (10, 11, 12, 13) for y in (20, 21, 22)}
+    assert got == exp
