@@ -109,6 +109,77 @@ def with_extracted_payloads(df: DataFrame) -> DataFrame:
     )
 
 
+# Java-regex twins of the Python miner patterns (functions.text). Java
+# supports the same inline-(?i), single-char lookbehind, and lookahead,
+# so match sets are identical; masking bbox spans with ONE space instead
+# of a length-preserving run is also equivalent (the point pattern only
+# ever uses \s* across the boundary) — property-tested against the
+# Python kernel in tests/test_native_pipeline.py.
+BBOX_RE_J = (
+    r"(?i)west:\s*(-?\d+(?:\.\d+)?)\s+east:\s*(-?\d+(?:\.\d+)?)\s+"
+    r"south:\s*(-?\d+(?:\.\d+)?)\s+north:\s*(-?\d+(?:\.\d+)?)"
+)
+COORD_RE_J = (
+    r"(?<![\d.-])(-?(?:90(?:\.0+)?|[0-8]?\d(?:\.\d+)?))\s*,\s*"
+    r"(-?(?:180(?:\.0+)?|1[0-7]\d(?:\.\d+)?|\d?\d(?:\.\d+)?))(?![\d.])"
+)
+
+# NB: built lazily inside the function — a module-level F.lit(...) needs
+# an active SparkContext at import time (same worker-reimport gotcha as
+# DDL-string pandas_udf types).
+def _dnull() -> Column:
+    return F.lit(None).cast("double")
+
+
+def payloads_native_col(text: Column) -> Column:
+    """E2 as a PURE-JVM expression (round 3): the whole miner — both
+    regex passes, numeric parsing, range checks, ordinal ordering — in
+    whole-stage codegen, no Python anywhere. Semantics identical to
+    functions.text.mine_payloads: bboxes first in match order (west>east
+    = antimeridian, allowed), bbox spans masked before point extraction,
+    same validity filters applied BEFORE ordinals are assigned.
+    """
+    bb = F.transform(
+        F.regexp_extract_all(text, F.lit(BBOX_RE_J), F.lit(0)),
+        lambda s: F.struct(
+            F.lit("bbox").alias("kind"),
+            _dnull().alias("lat"),
+            _dnull().alias("lon"),
+            F.regexp_extract(s, BBOX_RE_J, 1).cast("double").alias("west"),
+            F.regexp_extract(s, BBOX_RE_J, 3).cast("double").alias("south"),
+            F.regexp_extract(s, BBOX_RE_J, 2).cast("double").alias("east"),
+            F.regexp_extract(s, BBOX_RE_J, 4).cast("double").alias("north"),
+        ),
+    )
+    bb_ok = F.filter(
+        bb,
+        lambda p: (p["west"] >= -180.0) & (p["west"] <= 180.0)
+        & (p["east"] >= -180.0) & (p["east"] <= 180.0)
+        & (p["south"] <= p["north"])
+        & (p["south"] >= -90.0) & (p["north"] <= 90.0),
+    )
+    masked = F.regexp_replace(text, BBOX_RE_J, " ")
+    pts = F.zip_with(
+        F.regexp_extract_all(masked, F.lit(COORD_RE_J), F.lit(1)),
+        F.regexp_extract_all(masked, F.lit(COORD_RE_J), F.lit(2)),
+        lambda a, b: F.struct(
+            F.lit("point").alias("kind"),
+            a.cast("double").alias("lat"),
+            b.cast("double").alias("lon"),
+            _dnull().alias("west"),
+            _dnull().alias("south"),
+            _dnull().alias("east"),
+            _dnull().alias("north"),
+        ),
+    )
+    pts_ok = F.filter(
+        pts,
+        lambda p: (p["lat"] >= -90.0) & (p["lat"] <= 90.0)
+        & (p["lon"] >= -180.0) & (p["lon"] <= 180.0),
+    )
+    return F.concat(bb_ok, pts_ok)
+
+
 def with_payloads(df: DataFrame, text_col: str = "text") -> DataFrame:
     """P5 prefilter -> E2 mine -> posexplode to one row per payload.
 

@@ -261,6 +261,102 @@ def pip_join(
     return points.mapInPandas(_match, out_schema)
 
 
+def _polygon_cell_map_rows(polygons_pdf: pd.DataFrame) -> list[tuple]:
+    """Driver-side (tiny dimension): COVER_LEVEL cell -> candidate
+    polygons, each carrying its polygon_id and a FLAT edge array across
+    all rings (even-odd parity over concatenated ring edges == XOR of
+    per-ring parities, so holes/multipolygon parts need no special
+    casing). One row per cover cell: (cell, [{polygon_id, edges}])."""
+    from collections import defaultdict
+
+    def _xy(ring) -> tuple[np.ndarray, np.ndarray]:
+        return (
+            np.array([p["x"] for p in ring], dtype=np.float64),
+            np.array([p["y"] for p in ring], dtype=np.float64),
+        )
+
+    multi = "rings" in polygons_pdf.columns
+    cell_map: dict[int, list] = defaultdict(list)
+    for row in polygons_pdf.itertuples():
+        rings = (
+            [_xy(r) for r in row.rings] if multi else [_xy(row.ring)]
+        )
+        edges = [
+            (float(rx[i]), float(ry[i]), float(rx[i + 1]), float(ry[i + 1]))
+            for rx, ry in rings
+            for i in range(len(rx) - 1)
+        ]
+        minx = min(float(rx.min()) for rx, _ in rings)
+        maxx = max(float(rx.max()) for rx, _ in rings)
+        miny = min(float(ry.min()) for _, ry in rings)
+        maxy = max(float(ry.max()) for _, ry in rings)
+        poly = (row.polygon_id, edges)
+        for cell in _cells.cover_bbox(minx, miny, maxx, maxy):
+            cell_map[int(cell)].append(poly)
+    return [(cell, polys) for cell, polys in cell_map.items()]
+
+
+_CELL_MAP_SCHEMA = (
+    "cell long, cands array<struct<polygon_id:string,"
+    "edges:array<struct<x1:double,y1:double,x2:double,y2:double>>>>"
+)
+
+
+def pip_join_native(
+    spark: SparkSession,
+    points: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    how: str = "left",
+) -> DataFrame:
+    """G4 with ZERO Python (round 3): exact even-odd PIP as one broadcast
+    equi-join plus higher-order array lambdas — no Arrow boundary at all.
+
+    Plan: point -> its COVER_LEVEL cell (native Morton) -> left broadcast
+    join against the cell->candidates map -> per candidate polygon, the
+    ray cast is size(filter(edges, crossing)) % 2 over the polygon's
+    broadcast edge array -> explode_outer emits matches (or one null row
+    for unmatched points when how='left').
+
+    The crossing arithmetic replicates geo.pip.points_in_ring op-for-op
+    (same IEEE order; horizontal edges yield NaN/inf in the dead branch
+    of the conjunction exactly like the numpy errstate-ignored kernel),
+    so matches are IDENTICAL to the mapInPandas path — candidate-set
+    differences (R-tree bbox vs cover cells) cannot matter because both
+    are supersets and the exact test decides membership. Identity is
+    asserted in tests/test_native_pipeline.py.
+    """
+    rows = _polygon_cell_map_rows(polygons_pdf)
+    cmap = spark.createDataFrame(rows, _CELL_MAP_SCHEMA)
+    px, py = F.col(lon_col), F.col(lat_col)
+    pts = points.withColumn(
+        "_cell_cov", cell_encode_col(px, py, _cells.COVER_LEVEL)
+    )
+    j = pts.join(
+        F.broadcast(cmap), pts["_cell_cov"] == cmap["cell"], "left"
+    ).drop("cell", "_cell_cov")
+
+    def _crossing(e: Column) -> Column:
+        straddle = (e["y1"] > py) != (e["y2"] > py)
+        x_at = e["x1"] + (py - e["y1"]) * (e["x2"] - e["x1"]) / (
+            e["y2"] - e["y1"]
+        )
+        return straddle & (px < x_at)
+
+    matched_ids = F.transform(
+        F.filter(
+            F.col("cands"),
+            lambda p: F.size(F.filter(p["edges"], _crossing)) % 2 == 1,
+        ),
+        lambda p: p["polygon_id"],
+    )
+    out = j.withColumn("polygon_id", F.explode_outer(matched_ids)).drop("cands")
+    if how == "inner":
+        out = out.filter(F.col("polygon_id").isNotNull())
+    return out
+
+
 # --- G7 raster<->vector: polygon -> tile rasterization --------------------------------
 
 

@@ -128,12 +128,31 @@ def mine_records(
     tile_z: int = _tiles.DEFAULT_TILE_Z,
     verify_extraction: bool = False,
     keep_text: bool = True,
+    engine: str = "fused",
 ) -> DataFrame:
     """pages + polygons -> normalized records (FIXTURES.md §3 core fields).
 
     `verify_extraction=True` adds the E1 output column (`extracted_text`)
     for byte-identity checks; production leaves it off so the html column
     is pruned from the scan when text is already materialized.
+
+    `engine` selects the payload+PIP stage (round 3; output is
+    record-identical, asserted in tests/test_native_pipeline.py):
+      - "fused": ONE mapInPandas stage (extract -> mine -> explode ->
+        R-tree PIP). The only choice for html-only corpora.
+      - "native": rows that carry text run a ZERO-Python plan — the
+        regex miner as codegen expressions (payloads_native_col) and
+        exact PIP as a broadcast join + higher-order ray cast
+        (pip_join_native); html-only rows still route through the fused
+        Python stage and union back in.
+
+    Measured (2M pages, local[32], this host): steady-state fused wins
+    (1.9-2.4 s vs native 2.6-3.0 s — warm Python workers + the numpy
+    flat miner beat Java running two regexp_extract_all passes plus the
+    union overhead), but COLD-start native wins (5.3 s vs 8.3 s — no
+    worker-spawn storm). Default stays "fused" for long-running batch;
+    "native" is the better shape for short jobs / micro-batches and for
+    clusters where Python workers contend with executors for memory.
     """
     valid, _quarantine = E.split_valid(pages)
     df = valid.filter(F.col("lang").isin("en", "fr"))
@@ -161,6 +180,65 @@ def mine_records(
         )
         df = G.pip_join(spark, df, polygons_pdf, lon_col="pt_lon",
                         lat_col="pt_lat", how="left")
+    elif engine == "native":
+        # round-3 zero-Python plan for text-bearing rows: native regex
+        # miner (codegen) + broadcast higher-order PIP; html-only rows
+        # fall back to the fused Python stage and union in
+        text_prefilter = F.col("text").isNotNull() & (
+            F.col("text").contains(",")
+            | F.lower(F.col("text")).contains("west:")
+        )
+        base_cols = ["url", "warc_ts", "lang"] + (
+            ["extracted_text"] if keep_text else []
+        )
+        pay = (
+            df.filter(text_prefilter)
+            .select(
+                "url",
+                "warc_ts",
+                "lang",
+                F.col("text").alias("extracted_text"),
+                F.posexplode(
+                    E.payloads_native_col(F.col("text"))
+                ).alias("payload_idx", "payload"),
+            )
+            .select(
+                *(["url", "warc_ts", "lang", "extracted_text"]),
+                "payload_idx",
+                "payload.*",
+            )
+        )
+        if not keep_text:
+            pay = pay.drop("extracted_text")
+        pay = pay.withColumn(
+            "pt_lat",
+            F.when(F.col("kind") == "point", F.col("lat")).otherwise(
+                (F.col("south") + F.col("north")) / F.lit(2.0)
+            ),
+        ).withColumn(
+            "pt_lon",
+            F.when(F.col("kind") == "point", F.col("lon")).otherwise(
+                G.bbox_center_lon_col(F.col("west"), F.col("east"))
+            ),
+        )
+        nat = G.pip_join_native(
+            spark, pay, polygons_pdf, lon_col="pt_lon", lat_col="pt_lat",
+            how="left",
+        ).select(
+            *base_cols,
+            "payload_idx", "kind", "lat", "lon", "west", "south", "east",
+            "north", "pt_lat", "pt_lon", "polygon_id",
+        )
+        idx = G.build_polygon_index(polygons_pdf)
+        bidx = spark.sparkContext.broadcast(idx)
+        html_rows = df.filter(F.col("text").isNull()).select(
+            "url", "warc_ts", "lang", "text", "html"
+        )
+        fallback = html_rows.mapInPandas(
+            _fused_mine_match(bidx, keep_text=keep_text),
+            _fused_schema(keep_text),
+        )
+        df = nat.unionByName(fallback)
     else:
         # hot path: extract -> mine -> explode -> exact PIP fused into ONE
         # Python stage (see _fused_mine_match); the native prefilter keeps

@@ -53,6 +53,15 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--stream-checkpoint", default=None,
                    help="Structured Streaming checkpoint location "
                    "(default: <checkpoint>/_stream)")
+    p.add_argument(
+        "--engine",
+        choices=("fused", "native"),
+        default="fused",
+        help="payload+PIP stage: 'fused' = one mapInPandas Python stage "
+        "(fastest steady state); 'native' = zero-Python plan for "
+        "text-bearing rows (fastest cold start / micro-batches) — "
+        "record-identical outputs either way",
+    )
     p.add_argument("--cell-level", type=int, default=12)
     p.add_argument("--tile-z", type=int, default=8)
     p.add_argument("--snapshot-id", type=int, default=None)
@@ -105,7 +114,8 @@ def main(argv: list[str]) -> None:
 
     records = C.with_tile_id(
         mine_records(
-            spark, pages, ppdf, cell_level=args.cell_level, tile_z=args.tile_z
+            spark, pages, ppdf, cell_level=args.cell_level,
+            tile_z=args.tile_z, engine=args.engine,
         )
     )
     if args.resume:
