@@ -351,16 +351,21 @@ def connected_components(
 
     Output: (id_col, cluster_id) for EVERY id — singletons cluster with
     themselves; cluster_id = min member id.
+
+    Only nodes that appear in an edge iterate (their labels are the only
+    ones that can change or influence anything); the typically-huge
+    singleton majority anti-joins back in at the end with self-labels.
+    At corpus scale that shrinks the per-round persisted frame from
+    |corpus| to |docs with a near-duplicate|.
     """
-    labels = ids.select(
-        F.col(id_col).alias("v"), F.col(id_col).alias("lbl")
-    ).persist()
-    labels.count()
     sym = edges.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).unionByName(
         edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
     )
+    edge_nodes = sym.select("v").distinct()
+    labels = edge_nodes.select("v", F.col("v").alias("lbl")).persist()
+    labels.count()
     for _ in range(max_iter):
         nbr = (
             sym.join(
@@ -381,7 +386,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("cluster_id"))
+    singles = ids.join(
+        edge_nodes, ids[id_col] == edge_nodes["v"], "left_anti"
+    ).select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    return labels.select(
+        F.col("v").alias(id_col), F.col("lbl").alias("cluster_id")
+    ).unionByName(singles)
 
 
 # --- SimHash -----------------------------------------------------------------
