@@ -333,21 +333,24 @@ def connected_components(
     """Near-dup CLUSTERING: connected components over a pair graph —
     the step after any pairwise dedup op ("keep one doc per cluster").
 
-    Iterative min-label propagation: every node starts as its own label;
-    each round a node takes the min of its own and its neighbors' labels;
-    converged when no label changes. Rounds needed = component diameter
-    (near-dup components are cliques/short chains, so 2-3 in practice);
-    the classic large-star/small-star contraction is the drop-in upgrade
-    if a corpus ever shows deep chains.
+    Iterative min-label propagation + pointer jumping: every node starts
+    as its own label; each round a node takes the min of its own and its
+    neighbors' labels, THEN resolves one level of indirection (label :=
+    label-of-my-label — safe because labels are always node ids, so the
+    composition join is total). The jump halves label-chain depth each
+    round, so convergence is O(log diameter) rounds — a 1M-node path
+    needs ~20 rounds, not a million (round 3: DBSCAN snake clusters made
+    the plain diameter-bounded loop hit max_iter).
 
     Scale shape: per round, one equi-join edges x labels + one groupBy
-    min — all shuffles on 8-byte keys. Each round persists its label
-    frame and unpersists the previous one (the convergence count is the
-    materializing action, so the unpersist is safe); without that, the
-    doubled self-reference per round would make lineage recompute
-    exponential. The RETURNED frame is the final persisted iteration —
-    callers that keep the session alive long-term should unpersist it
-    after consuming.
+    min + one labels-x-labels composition join — all shuffles on 8-byte
+    keys. Each round ``localCheckpoint``s its label frame: this
+    TRUNCATES the logical plan, which otherwise references the previous
+    round twice (union + join) and doubles per round — at ~20 rounds the
+    2^20-node plan tree OOMs the driver just STRINGIFYING itself; persist
+    alone caches data but never cuts the logical lineage (round-3
+    lesson). The RETURNED frame sits on a checkpointed base — callers
+    need no unpersist; executor blocks free when the frame is GC'd.
 
     Output: (id_col, cluster_id) for EVERY id — singletons cluster with
     themselves; cluster_id = min member id.
@@ -364,17 +367,24 @@ def connected_components(
         edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
     )
     edge_nodes = sym.select("v").distinct()
-    labels = edge_nodes.select("v", F.col("v").alias("lbl")).persist()
-    labels.count()
+    labels = edge_nodes.select("v", F.col("v").alias("lbl")).localCheckpoint()
     for _ in range(max_iter):
         nbr = (
             sym.join(
                 labels.select(F.col("v").alias("u"), "lbl"), "u"
             ).select("v", "lbl")
         )
-        new_labels = (
+        stepped = (
             labels.unionByName(nbr).groupBy("v").agg(F.min("lbl").alias("lbl"))
-        ).persist()
+        )
+        jump = stepped.select(
+            F.col("v").alias("_jv"), F.col("lbl").alias("_jl")
+        )
+        new_labels = (
+            stepped.join(jump, stepped["lbl"] == jump["_jv"])
+            .select("v", F.col("_jl").alias("lbl"))
+            .localCheckpoint()
+        )
         changed = (
             new_labels.join(
                 labels.select("v", F.col("lbl").alias("_old")), "v"
@@ -382,7 +392,6 @@ def connected_components(
             .filter(F.col("lbl") != F.col("_old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

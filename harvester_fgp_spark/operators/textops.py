@@ -147,3 +147,100 @@ def with_text_analysis(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_tokens", token_count_col(t))
         .withColumn("fingerprint", fingerprint64_col(t))
     )
+
+
+# --- Corpus splitting / sampling (round 3) -----------------------------------
+#
+# Training pipelines need SPLITS (train/val/test) and SAMPLES that are
+# (a) deterministic across reruns and engines, (b) a function of the
+# record key alone — never of partitioning, row order, or cluster size —
+# so a resumed or re-sharded 100 TB run lands every document in the same
+# split. Both derive from sha2-256 of the key: bucket = first 60 bits of
+# the digest mod 100, sample bits = an independent 60-bit slice of the
+# SAME digest (one hash evaluation feeds both). Fully native (codegen);
+# DuckDB twin: ('0x' || substr(sha256(key), lo, 15))::BIGINT.
+
+
+def hash_bucket_col(key: Column, lo: int = 1) -> Column:
+    """Deterministic bucket in [0, 100) from hex digits [lo, lo+15) of
+    sha2-256(key) — 60 unbiased-enough bits; slices at different ``lo``
+    are independent streams of the same single digest."""
+    digest = F.sha2(key.cast("string"), 256)
+    return (
+        F.conv(F.substring(digest, lo, 15), 16, 10).cast("long") % 100
+    )
+
+
+def hash_split_col(
+    key: Column, train_pct: int = 90, val_pct: int = 5
+) -> Column:
+    """'train' / 'validation' / 'test' from the key hash alone."""
+    b = hash_bucket_col(key, lo=1)
+    return (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def inverted_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Inverted index build: (term, df, postings) where postings is the
+    top-``k`` documents by term frequency (ties -> lower doc id), serialized
+    "doc:tf,doc:tf,..." — a string because the driver canonicalizer can't
+    hash LIST columns.
+
+    Scale shape: tokenization is native regexp_extract_all + explode
+    (codegen); the (term, doc) pre-aggregation is the map-side-combinable
+    first shuffle, so the second (per-term) pass sees one row per POSTING,
+    not per token occurrence. Top-k uses a row_number window per term —
+    the honest cost of postings construction; a stopword-scale hot term
+    is one hot partition, and because rows are already (term, doc) pairs
+    the fix at 100 TB is the standard two-phase top-k (partial top-k per
+    shuffle partition via the same window over (term, pmod(doc, S)),
+    then a final window over S*k survivors per term)."""
+    from pyspark.sql import Window
+
+    term = F.explode(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), F.lit(0)
+        )
+    ).alias("term")
+    tf = (
+        docs.select(F.col(id_col).alias("doc"), term)
+        .groupBy("term", "doc")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc").asc()
+    )
+    r = tf.select(
+        "term",
+        "doc",
+        "tf",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("term")).alias("df"),
+    ).filter((F.col("rk") <= k) & (F.col("df") >= min_df))
+    posting = F.concat_ws(
+        ":", F.col("doc").cast("string"), F.col("tf").cast("string")
+    )
+    return (
+        r.groupBy("term", "df")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("rk"), posting.alias("p")))
+                    ),
+                    lambda s: s["p"],
+                ),
+            ).alias("postings")
+        )
+        .select("term", F.col("df").cast("long").alias("df"), "postings")
+    )

@@ -128,3 +128,52 @@ def grid_xy_sql(lon_expr: str, lat_expr: str, level: int) -> tuple[str, str]:
     x = f"GREATEST(0, LEAST({n - 1}, CAST(FLOOR(({lon_expr} + 180.0) / 360.0 * {float(n)}) AS BIGINT)))"
     y = f"GREATEST(0, LEAST({n - 1}, CAST(FLOOR((90.0 - {lat_expr}) / 180.0 * {float(n)}) AS BIGINT)))"
     return x, y
+
+
+# DBSCAN fixtures (round 3): every document becomes an integer
+# centi-degree point (same multipliers as points_from_documents, NOT
+# divided by 100 — the whole pipeline stays in int64 so the brute-force
+# DuckDB oracle is bit-exact). Every 5th document additionally plants 3
+# jittered companions within L-inf 200 <= eps/(2*sqrt2) of its base
+# point, so each quad is mutually eps-close (triangle inequality) and all
+# four members are guaranteed CORE at min_pts=4; the un-seeded majority
+# stays sparse and lands as border/noise — all three DBSCAN roles are
+# exercised in one query.
+DBSCAN_EPS = 600
+DBSCAN_MIN_PTS = 4
+
+
+def dbscan_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pid, x, y) integer points: one per document + 3 planted
+    companions per 5th document (companion pid = doc_id + 100000*k)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    bx = (d * _LON_MUL) % _LON_MOD - F.lit(_LON_MOD // 2)
+    by = (d * _LAT_MUL) % _LAT_MOD - F.lit(_LAT_MOD // 2)
+    base = docs.select(d.alias("pid"), bx.alias("x"), by.alias("y"))
+    seeds = docs.filter(d % 5 == 0)
+    comps = None
+    for k in (1, 2, 3):
+        c = seeds.select(
+            (d + 100000 * k).alias("pid"),
+            (bx + ((d * 13 + 97 * k) % 400 - 200)).alias("x"),
+            (by + ((d * 29 + 53 * k) % 400 - 200)).alias("y"),
+        )
+        comps = c if comps is None else comps.unionByName(c)
+    return base.unionByName(comps)
+
+
+DBSCAN_POINTS_SQL = f"""
+    SELECT doc_id AS pid,
+           (doc_id * {_LON_MUL}) % {_LON_MOD} - {_LON_MOD // 2} AS x,
+           (doc_id * {_LAT_MUL}) % {_LAT_MOD} - {_LAT_MOD // 2} AS y
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 * k,
+           (doc_id * {_LON_MUL}) % {_LON_MOD} - {_LON_MOD // 2}
+               + ((doc_id * 13 + 97 * k) % 400 - 200),
+           (doc_id * {_LAT_MUL}) % {_LAT_MOD} - {_LAT_MOD // 2}
+               + ((doc_id * 29 + 53 * k) % 400 - 200)
+    FROM documents, UNNEST([1, 2, 3]) AS t(k)
+    WHERE doc_id % 5 = 0
+"""
