@@ -507,3 +507,56 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n_tokens: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark DECONTAMINATION (round 3): flag every training document
+    that shares at least one n_tokens-word window with a held-out
+    evaluation set — the GPT-3/Pile-style 13-gram overlap rule, the op a
+    training pipeline runs before any eval claim is honest.
+
+    Scale shape: both sides emit rolling window hashes (native
+    transform/sequence/slice + xxhash64 — the duplicate_span_counts
+    construction, no Python, no text past the scan). The benchmark side
+    is an EVAL SET — megabytes against a 100 TB corpus — so its distinct
+    gram-hash set broadcasts and the corpus streams through one hash
+    join; per-doc gram sets are deduped BEFORE the join so the output
+    counts distinct shared windows. Nothing shuffles on corpus size
+    except the 8-byte (id, hash) gram stream itself.
+
+    Output: (id_col, n_shared) for contaminated docs only; callers
+    left-join and treat null as clean.
+    """
+
+    def grams(df: DataFrame, with_id: bool) -> DataFrame:
+        w = F.split(F.col(text_col), " ")
+        cols = [F.col(id_col)] if with_id else []
+        return (
+            df.filter(F.size(w) >= n_tokens)
+            .select(
+                *cols,
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(w) - n_tokens),
+                        lambda i: F.xxhash64(
+                            F.concat_ws(" ", F.slice(w, i + 1, n_tokens))
+                        ),
+                    )
+                ).alias("wh"),
+            )
+            .distinct()
+        )
+
+    bench_g = F.broadcast(grams(bench, with_id=False))
+    return (
+        grams(docs, with_id=True)
+        .join(bench_g, "wh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )

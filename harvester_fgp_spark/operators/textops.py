@@ -244,3 +244,50 @@ def inverted_postings(
         )
         .select("term", F.col("df").cast("long").alias("df"), "postings")
     )
+
+
+def domain_mix(
+    docs: DataFrame,
+    weight_of,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Domain MIXING (round 3): deterministically downsample each source
+    so the surviving corpus matches target mixture weights — the
+    web/books/code rebalancing step of every training-data recipe.
+
+    ``weight_of``: Column -> Column mapping the source to its target
+    weight (integer-valued). Only downsampling is possible, so the
+    feasible total is set by the BINDING source (min n_s / w_s, one
+    exact IEEE division — cross-engine stable); every source then keeps
+    ``floor(1e6 * w_s * T / n_s)`` per-million of its docs, selected by
+    the same sha2-keyed bucket as hash_split_col — a pure function of
+    the key, so resume/reshard lands identical samples.
+
+    Scale shape: one groupBy(source) count (dimension-sized), the 1-row
+    feasible-total frame and the per-source thresholds broadcast back,
+    and the keep decision is a native per-row expression — no second
+    pass over the corpus.
+
+    Output: docs + (w_s, thr, kept).
+    """
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("n_s"))
+    counts = counts.withColumn(
+        "w_s", weight_of(F.col(source_col)).cast("long")
+    )
+    t = counts.agg(F.min(F.col("n_s") / F.col("w_s")).alias("_t"))
+    thr = (
+        counts.crossJoin(F.broadcast(t))
+        .withColumn(
+            "thr",
+            F.floor(
+                F.lit(1000000.0) * F.col("w_s") * F.col("_t") / F.col("n_s")
+            ).cast("long"),
+        )
+        .drop("_t", "n_s")
+    )
+    digest = F.sha2(F.col(id_col).cast("string"), 256)
+    bucket = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long") % 1000000
+    return docs.join(F.broadcast(thr), source_col).withColumn(
+        "kept", bucket < F.col("thr")
+    )

@@ -187,3 +187,61 @@ def test_inverted_postings_hand_example(spark):
         "banana": (2, "2:2,1:1"),
         "cherry": (2, "3:2,2:1"),
     }  # zebra: df=1, trimmed by min_df
+
+
+def test_decontaminate_hand_example(spark):
+    from harvester_fgp_spark.operators.dedup import decontaminate
+
+    bench_text = " ".join(f"w{i}" for i in range(13))  # exactly one window
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text),  # identical -> shares the window
+            (2, "pre1 pre2 " + bench_text + " post"),  # embedded -> shares
+            (3, " ".join(f"w{i}" for i in range(12))),  # too short -> clean
+            (4, " ".join(f"x{i}" for i in range(30))),  # unrelated -> clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    got = {
+        r["doc_id"]: r["n_shared"] for r in decontaminate(corpus, bench).collect()
+    }
+    assert got == {1: 1, 2: 1}
+
+
+def test_domain_mix_thresholds_and_determinism(spark):
+    from harvester_fgp_spark.operators.textops import domain_mix
+
+    rows = (
+        [(i, "a") for i in range(1000)]
+        + [(10000 + i, "b") for i in range(500)]
+        + [(20000 + i, "c") for i in range(250)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_mix(
+        docs,
+        lambda s: F.when(s == "a", 1).when(s == "b", 2).otherwise(1),
+    )
+    # binding source: b (500/2 = 250) ties c (250/1); T = 250
+    # thr_a = floor(1e6 * 1 * 250 / 1000) = 250000; b and c keep all
+    agg = {
+        r["source"]: (r["thr"], r["n_kept"])
+        for r in out.groupBy("source", "thr")
+        .agg(F.count_if(F.col("kept")).alias("n_kept"))
+        .collect()
+    }
+    assert agg["a"][0] == 250_000
+    assert agg["b"] == (1_000_000, 500)
+    assert agg["c"] == (1_000_000, 250)
+    # sha2-keyed selection: close to the target rate and deterministic
+    assert 0.2 <= agg["a"][1] / 1000 <= 0.3
+    again = {
+        r["source"]: r["n_kept"]
+        for r in domain_mix(
+            docs, lambda s: F.when(s == "a", 1).when(s == "b", 2).otherwise(1)
+        )
+        .groupBy("source")
+        .agg(F.count_if(F.col("kept")).alias("n_kept"))
+        .collect()
+    }
+    assert again == {s: v[1] for s, v in agg.items()}
