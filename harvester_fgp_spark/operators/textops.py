@@ -271,13 +271,21 @@ def domain_mix(
 
     Output: docs + (w_s, thr, kept).
     """
+    from pyspark.sql import Window
+
     counts = docs.groupBy(source_col).agg(F.count("*").alias("n_s"))
     counts = counts.withColumn(
         "w_s", weight_of(F.col(source_col)).cast("long")
     )
-    t = counts.agg(F.min(F.col("n_s") / F.col("w_s")).alias("_t"))
+    # feasible total as a GLOBAL window min, not agg + crossJoin back:
+    # Spark re-executes multi-consumer subtrees, so the agg/join shape
+    # scans the corpus twice; the single-partition window is free on a
+    # dimension-sized frame and keeps the corpus scan single-pass
     thr = (
-        counts.crossJoin(F.broadcast(t))
+        counts.withColumn(
+            "_t",
+            F.min(F.col("n_s") / F.col("w_s")).over(Window.partitionBy()),
+        )
         .withColumn(
             "thr",
             F.floor(
