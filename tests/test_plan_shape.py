@@ -113,3 +113,35 @@ def test_partition_pruning(spark, tmp_path):
     # behavior, not just plan text: only in-range dates come back
     dates = {str(r.crawl_date) for r in df.select("crawl_date").distinct().collect()}
     assert dates and all("2024-01-10" <= d <= "2024-01-12" for d in dates)
+
+
+def test_decontaminate_bench_side_broadcasts(spark, sf_dir):
+    """The eval-set gram join must be a broadcast (bench sets are MBs
+    against a TB corpus) and the whole query pure-JVM — decontamination
+    that shuffles the corpus gram stream against a shuffled bench side
+    or drops into Python would not survive 100x."""
+    df = E.queries()["decontaminate"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dbscan_neighbor_join_is_equi_not_nlj(spark, sf_dir):
+    """The DBSCAN candidate join must be a hash/sort-merge equi-join on
+    the (cx, cy) cell key — a nested-loop/cartesian plan would be the
+    all-pairs shape the grid exists to avoid."""
+    from harvester_fgp_spark.operators.cluster import eps_neighbor_pairs
+    from harvester_fgp_spark.plans import derived as D
+
+    pairs = eps_neighbor_pairs(
+        D.dbscan_points(spark, sf_dir), D.DBSCAN_EPS, id_col="pid"
+    )
+    pairs.collect()
+    plan = _plan(pairs)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
