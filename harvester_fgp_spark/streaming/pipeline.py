@@ -153,3 +153,53 @@ def stream_records_foreach_batch(
         )
 
     return pages.writeStream.foreachBatch(_process)
+
+
+FETCH_LOG_FIELDS = "url string, log_ts timestamp, status int"
+
+
+def read_fetch_log_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Crawl-fetch log stream (url, log_ts, status) — the second stream
+    of the stream-stream join surface."""
+    return (
+        spark.readStream.schema(FETCH_LOG_FIELDS)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def stream_join_fetch_log(
+    pages: DataFrame,
+    logs: DataFrame,
+    tolerance: str = "10 minutes",
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """Stream-stream INNER join with event-time bounds (§2.10): each page
+    pairs with the fetch-log entries for the same url within +/-tolerance
+    of its warc_ts.
+
+    Both inputs carry watermarks AND the join condition bounds log_ts
+    relative to warc_ts in both directions — that pair is what lets the
+    engine expire buffered state: a page can be dropped once the log
+    watermark passes warc_ts + tolerance, and vice versa. Without the
+    time bound the join state grows with the full history of both streams
+    — the stream-stream scale-killer. State shuffles on url (the equi
+    half of the condition); the range half filters within the matched
+    bucket, exactly like the batch interval join.
+    """
+    p = pages.select("url", "warc_ts", "lang").withWatermark(
+        "warc_ts", watermark
+    )
+    lg = logs.withWatermark("log_ts", watermark)
+    lo = F.expr(f"warc_ts - INTERVAL {tolerance}")
+    hi = F.expr(f"warc_ts + INTERVAL {tolerance}")
+    cond = (
+        (p["url"] == lg["url"])
+        & (lg["log_ts"] >= lo)
+        & (lg["log_ts"] <= hi)
+    )
+    return p.join(lg, cond, "inner").select(
+        p["url"].alias("url"), "warc_ts", "log_ts", "status", "lang"
+    )

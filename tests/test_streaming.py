@@ -145,3 +145,88 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # T0's window finalized with ONE payload — the late third row was
     # dropped, not double-counted and not re-emitted
     assert by_window.get("2024-01-01 00:00:00") == 1
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join with event-time bounds: identical rows to
+    the batch join over the same inputs, across multiple micro-batches."""
+    import pandas as pd
+
+    from harvester_fgp_spark.schemas import PAGES_SCHEMA
+    from harvester_fgp_spark.streaming.pipeline import (
+        FETCH_LOG_FIELDS,
+        read_fetch_log_stream,
+        read_pages_stream,
+        stream_join_fetch_log,
+    )
+
+    pages_src = str(tmp_path / "pages_src")
+    logs_src = str(tmp_path / "logs_src")
+
+    def _pages(urls_ts):
+        pdf = pd.DataFrame(
+            {
+                "url": [u for u, _ in urls_ts],
+                "warc_ts": [pd.Timestamp(t) for _, t in urls_ts],
+                "html": [None] * len(urls_ts),
+                "text": ["x"] * len(urls_ts),
+                "lang": ["en"] * len(urls_ts),
+            }
+        )
+        return spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+
+    def _logs(rows):
+        pdf = pd.DataFrame(
+            {
+                "url": [u for u, _, _ in rows],
+                "log_ts": [pd.Timestamp(t) for _, t, _ in rows],
+                "status": [s for _, _, s in rows],
+            }
+        )
+        return spark.createDataFrame(pdf, schema=FETCH_LOG_FIELDS)
+
+    # one file per write => deterministic micro-batch order under
+    # maxFilesPerTrigger=1 (multi-part writes interleave arbitrarily and
+    # the watermark then legitimately drops "late" rows — flaky)
+    _pages(
+        [("u://a", "2024-01-01 10:00"), ("u://b", "2024-01-01 11:00")]
+    ).coalesce(1).write.mode("overwrite").parquet(pages_src)
+    _pages([("u://c", "2024-01-01 12:00")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(pages_src)
+    _logs(
+        [
+            ("u://a", "2024-01-01 10:05", 200),  # within 10 min -> match
+            ("u://a", "2024-01-01 10:30", 200),  # outside -> no match
+            ("u://b", "2024-01-01 10:55", 304),  # within (before) -> match
+            ("u://x", "2024-01-01 11:00", 500),  # url never crawled
+        ]
+    ).coalesce(1).write.mode("overwrite").parquet(logs_src)
+    _logs(
+        [("u://c", "2024-01-01 12:01", 200)]  # arrives in a later batch
+    ).coalesce(1).write.mode("append").parquet(logs_src)
+
+    joined = stream_join_fetch_log(
+        read_pages_stream(spark, pages_src, max_files_per_trigger=1),
+        read_fetch_log_stream(spark, logs_src, max_files_per_trigger=1),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_cp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["url"], str(r["log_ts"]), r["status"])
+        for r in spark.sql("select * from ssj").collect()
+    }
+    assert got == {
+        ("u://a", "2024-01-01 10:05:00", 200),
+        ("u://b", "2024-01-01 10:55:00", 304),
+        ("u://c", "2024-01-01 12:01:00", 200),
+    }
