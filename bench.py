@@ -41,7 +41,15 @@ BENCH_QUERIES = (
     "dedup_minhash",
     "text_analysis",
     "tile_group_stats",
+    "decontaminate",
 )
+# NOT benched: geo_dbscan — at sf0.1 the fixture percolates into one giant
+# cluster and the contraction loop's per-round FIXED cost (a handful of
+# sub-second Spark jobs per round) dominates an 8000-point input (~15 s
+# that measures scheduler overhead, not the operator; the per-round work
+# is O(current edges) and amortizes at real scale). Correctness at sf0.01
+# is driver-gated with an exact recursive-CTE oracle, and convergence is
+# exact-terminated (raises rather than returning under-merged labels).
 # NOT benched: sim_near_dup — at the oracle's threshold (0.42, picked only
 # because the driver embeddings are near-orthogonal) the chord-bound
 # buckets are wider than the projection spread, so the query is

@@ -16,8 +16,9 @@ neighborhood of p's cell. The candidate join is an EQUI-join on
 (cell_x, cell_y) after a static 9-way neighbor-offset explode: shuffle
 keys are two longs, candidate volume ~ local density x 9 cells, never
 N^2. The exact ``d2 <= eps^2`` filter runs native (codegen) after the
-join. Labels come from ``connected_components`` (iterative min-label
-propagation) over core-core edges only — at corpus scale the component
+join. Labels come from ``connected_components`` (cluster-graph
+contraction, exact-terminated) over core-core edges only — at corpus
+scale the component
 graph is the dense minority, not the full point set. A skewed mega-cell
 (one city at 100 TB) shows up as one hot join key; AQE skew split or the
 sampled salt chooser (operators/joins.choose_salt_factor) applies

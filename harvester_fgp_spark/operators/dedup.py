@@ -329,28 +329,39 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    jumps: int = 64,
 ) -> DataFrame:
     """Near-dup CLUSTERING: connected components over a pair graph —
     the step after any pairwise dedup op ("keep one doc per cluster").
 
-    Iterative min-label propagation + pointer jumping: every node starts
-    as its own label; each round a node takes the min of its own and its
-    neighbors' labels, THEN resolves one level of indirection (label :=
-    label-of-my-label — safe because labels are always node ids, so the
-    composition join is total). The jump halves label-chain depth each
-    round, so convergence is O(log diameter) rounds — a 1M-node path
-    needs ~20 rounds, not a million (round 3: DBSCAN snake clusters made
-    the plain diameter-bounded loop hit max_iter).
+    Algorithm: CLUSTER-GRAPH CONTRACTION. Each round, every current
+    cluster representative adopts the minimum of itself and its neighbor
+    reps (plus one pointer jump to flatten adoption chains), the id->rep
+    mapping composes with that adoption map, and the edge set contracts
+    through it (self-loops dropped, duplicates merged). Every cluster
+    with a surviving edge merges with at least one neighbor per round, so
+    the per-component cluster count at least halves -> O(log n) rounds
+    GUARANTEED, independent of graph diameter or id placement. (Round-3
+    history: plain min-label propagation needs diameter rounds, and a
+    label-of-label jump gains only a constant factor when ids are random
+    relative to topology — a percolated sf0.1 DBSCAN graph with ~100-hop
+    diameter silently hit max_iter and returned under-merged labels.)
 
-    Scale shape: per round, one equi-join edges x labels + one groupBy
-    min + one labels-x-labels composition join — all shuffles on 8-byte
-    keys. Each round ``localCheckpoint``s its label frame: this
-    TRUNCATES the logical plan, which otherwise references the previous
-    round twice (union + join) and doubles per round — at ~20 rounds the
-    2^20-node plan tree OOMs the driver just STRINGIFYING itself; persist
-    alone caches data but never cuts the logical lineage (round-3
-    lesson). The RETURNED frame sits on a checkpointed base — callers
-    need no unpersist; executor blocks free when the frame is GC'd.
+    Termination is EXACT, not heuristic: done when the contracted edge
+    set is empty (no cross-cluster edge remains); if max_iter rounds pass
+    with edges left the function RAISES instead of returning a wrong
+    answer. The contracted edge set shrinks geometrically, so late
+    rounds are nearly free.
+
+    Scale shape: per round, one groupBy-min over the contracted edges,
+    two rep-sized composition joins, one edge-contraction join +
+    distinct — all shuffles on 8-byte keys, all frames bounded by the
+    CURRENT cluster/edge count, not the input. Each round
+    ``localCheckpoint``s its frames: this TRUNCATES the logical plan,
+    which otherwise grows per round until the driver OOMs just
+    STRINGIFYING the tree (persist caches data but never cuts lineage —
+    round-3 lesson). The RETURNED frame sits on a checkpointed base —
+    callers need no unpersist; executor blocks free on GC.
 
     Output: (id_col, cluster_id) for EVERY id — singletons cluster with
     themselves; cluster_id = min member id.
@@ -367,38 +378,84 @@ def connected_components(
         edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
     )
     edge_nodes = sym.select("v").distinct()
-    labels = edge_nodes.select("v", F.col("v").alias("lbl")).localCheckpoint()
+    mapping = edge_nodes.select(
+        "v", F.col("v").alias("lbl")
+    ).localCheckpoint()
+    contracted = sym.localCheckpoint()
+    n_edges = contracted.count()
     for _ in range(max_iter):
-        nbr = (
-            sym.join(
-                labels.select(F.col("v").alias("u"), "lbl"), "u"
-            ).select("v", "lbl")
+        if n_edges == 0:
+            break
+        # each rep adopts min(self, neighbor reps); sym is bidirectional,
+        # so every endpoint appears as a group key
+        adopt = (
+            contracted.groupBy(F.col("u").alias("x"))
+            .agg(F.min("v").alias("lx"))
+            .withColumn("lx", F.least(F.col("x"), F.col("lx")))
         )
-        stepped = (
-            labels.unionByName(nbr).groupBy("v").agg(F.min("lbl").alias("lbl"))
-        )
-        jump = stepped.select(
-            F.col("v").alias("_jv"), F.col("lbl").alias("_jl")
-        )
-        new_labels = (
-            stepped.join(jump, stepped["lbl"] == jump["_jv"])
-            .select("v", F.col("_jl").alias("lbl"))
+        # Pointer-jump the adoption map TO IDEMPOTENCE (every rep points
+        # at its adoption-tree ROOT, a local minimum). Partial flattening
+        # is worthless: on a monotone-id path every node adopts its
+        # predecessor, and a depth-k flatten yields x -> x-k — a near-
+        # bijection that merges NOTHING. Full closure maps the whole
+        # chain to its minimum in log2(depth) jumps (depth halves per
+        # jump; random-id graphs have O(log n) chains, so 2-4 jumps
+        # typical). Each jump is a rep-sized self-join on an 8-byte key,
+        # localCheckpointed because it references the previous map twice
+        # (the exponential-lineage shape).
+        adopt = adopt.localCheckpoint()
+        for _ in range(jumps):
+            jmp = adopt.select(
+                F.col("x").alias("_jx"), F.col("lx").alias("_jl")
+            )
+            moved_frame = (
+                adopt.join(jmp, adopt["lx"] == jmp["_jx"], "left")
+                .select(
+                    "x",
+                    F.coalesce("_jl", "lx").alias("lx"),
+                    (
+                        F.col("_jl").isNotNull()
+                        & (F.col("_jl") != F.col("lx"))
+                    ).alias("_moved"),
+                )
+                .localCheckpoint()
+            )
+            adopt = moved_frame.select("x", "lx")
+            if moved_frame.filter(F.col("_moved")).isEmpty():
+                break
+        else:
+            raise RuntimeError(
+                "connected_components: adoption map not idempotent after "
+                f"{jumps} pointer jumps"
+            )
+        mapping = (
+            mapping.join(adopt, mapping["lbl"] == adopt["x"], "left")
+            .select("v", F.coalesce("lx", "lbl").alias("lbl"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.select("v", F.col("lbl").alias("_old")), "v"
+        lu = adopt.select(F.col("x").alias("u"), F.col("lx").alias("_lu"))
+        lv = adopt.select(F.col("x").alias("v"), F.col("lx").alias("_lv"))
+        contracted = (
+            contracted.join(lu, "u", "left")
+            .join(lv, "v", "left")
+            .select(
+                F.coalesce("_lu", F.col("u")).alias("u"),
+                F.coalesce("_lv", F.col("v")).alias("v"),
             )
-            .filter(F.col("lbl") != F.col("_old"))
-            .count()
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
         )
-        labels = new_labels
-        if changed == 0:
-            break
+        n_edges = contracted.count()
+    if n_edges != 0:
+        raise RuntimeError(
+            f"connected_components: {n_edges} cross-cluster edges left "
+            f"after {max_iter} contraction rounds"
+        )
     singles = ids.join(
         edge_nodes, ids[id_col] == edge_nodes["v"], "left_anti"
     ).select(F.col(id_col), F.col(id_col).alias("cluster_id"))
-    return labels.select(
+    return mapping.select(
         F.col("v").alias(id_col), F.col("lbl").alias("cluster_id")
     ).unionByName(singles)
 

@@ -102,12 +102,14 @@ def test_dbscan_planted_quad_is_core(spark):
 
 
 def test_connected_components_long_chain(spark):
-    """Regression (round 3): a deep path graph. The plain per-round
-    persist loop (a) needed diameter rounds — max_iter capped it wrong —
-    and (b) doubled the LOGICAL plan per round until the driver OOM'd
-    stringifying a 2^20-node tree (persist caches data, never truncates
-    lineage). Pointer jumping + localCheckpoint converge a 300-node path
-    within max_iter=25 with flat per-round plans."""
+    """Regression (round 3): a deep MONOTONE-id path — the adversarial
+    shape for min-label algorithms. Plain propagation needs diameter
+    rounds (and the persist-only loop OOM'd the driver stringifying its
+    exponentially-doubling logical plan); partial pointer jumps yield a
+    near-bijection that merges nothing. The contraction algorithm
+    (adoption map flattened to idempotence, exact edges-empty
+    termination) must converge well inside max_iter — and raises, never
+    silently under-merges, if it can't."""
     from harvester_fgp_spark.operators.dedup import connected_components
 
     n = 300
