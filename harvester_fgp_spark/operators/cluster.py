@@ -18,8 +18,8 @@ keys are two longs, candidate volume ~ local density x 9 cells, never
 N^2. The exact ``d2 <= eps^2`` filter runs native (codegen) after the
 join. Labels come from ``connected_components`` (cluster-graph
 contraction, exact-terminated) over core-core edges only — at corpus
-scale the component
-graph is the dense minority, not the full point set. A skewed mega-cell
+scale the component graph is the dense minority, not the full point
+set. A skewed mega-cell
 (one city at 100 TB) shows up as one hot join key; AQE skew split or the
 sampled salt chooser (operators/joins.choose_salt_factor) applies
 unchanged because the join is a plain equi-join.
@@ -28,10 +28,10 @@ Coordinates are integers (centi-degrees in the gate query) and d2 is
 computed in int64, so the DuckDB oracle (brute-force pair join +
 recursive-CTE closure) matches bit-exactly — no float boundary flips.
 
-Like ``connected_components``, the neighbor-pair frame is persisted for
-the duration of the computation (it feeds the degree count, the core
-edge set, and the border attachment — Spark re-executes multi-consumer
-subtrees otherwise) and unpersisted before return; the RETURNED frame is
+The neighbor-pair frame is persisted for the duration of the
+computation (it feeds the degree count, the core edge set, and the
+border attachment — Spark re-executes multi-consumer subtrees
+otherwise) and unpersisted before return; the RETURNED frame is
 materialized while the pairs are still cached, so callers never pay a
 recompute.
 """

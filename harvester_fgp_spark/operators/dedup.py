@@ -336,16 +336,18 @@ def connected_components(
 
     Algorithm: CLUSTER-GRAPH CONTRACTION. Each round, every current
     cluster representative adopts the minimum of itself and its neighbor
-    reps (plus one pointer jump to flatten adoption chains), the id->rep
-    mapping composes with that adoption map, and the edge set contracts
-    through it (self-loops dropped, duplicates merged). Every cluster
-    with a surviving edge merges with at least one neighbor per round, so
-    the per-component cluster count at least halves -> O(log n) rounds
-    GUARANTEED, independent of graph diameter or id placement. (Round-3
-    history: plain min-label propagation needs diameter rounds, and a
-    label-of-label jump gains only a constant factor when ids are random
-    relative to topology — a percolated sf0.1 DBSCAN graph with ~100-hop
-    diameter silently hit max_iter and returned under-merged labels.)
+    reps, the adoption map is pointer-jumped TO IDEMPOTENCE (every rep
+    then points at its adoption-tree root), the id->rep mapping composes
+    with it, and the edge set contracts through it (self-loops dropped,
+    duplicates merged). Only local minima of the contracted graph
+    survive a round — an independent set, so every surviving cluster
+    absorbed its whole adoption tree; a deep component collapses in few
+    rounds regardless of diameter or id placement (a monotone-id path
+    contracts in ONE round). (Round-3 history: plain min-label
+    propagation needs diameter rounds, and any FIXED number of jumps
+    leaves a near-bijection on monotone-id paths — a percolated sf0.1
+    DBSCAN graph with ~100-hop diameter silently hit max_iter and
+    returned under-merged labels.)
 
     Termination is EXACT, not heuristic: done when the contracted edge
     set is empty (no cross-cluster edge remains); if max_iter rounds pass
