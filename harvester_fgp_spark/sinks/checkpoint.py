@@ -218,3 +218,62 @@ def resume_filter(
     """S6: drop tiles already committed (broadcast left-anti join)."""
     done = completed_tiles(spark, checkpoint_dir, stage)
     return pending.join(F.broadcast(done), "tile_id", "left_anti")
+
+
+def compact_records(
+    spark: SparkSession,
+    out_dir: str,
+    target_rows_per_file: int = 1_000_000,
+    sort_col: str = "cell_id",
+) -> None:
+    """Small-file COMPACTION for the record sink (the operational chore a
+    per-tile streaming/incremental writer makes unavoidable at 100 TB:
+    thousands of micro-batch commits x thousands of tiles = millions of
+    kilobyte files, and the NameNode/S3-listing + per-file open cost
+    eventually dwarfs the scan itself).
+
+    Per tile: coalesce to ceil(rows / target_rows_per_file) files and
+    sort rows by ``sort_col`` within each file, so parquet row-group
+    min/max stats become selective for cell-prefix predicates (the
+    dominant read pattern) — compaction and clustering in one rewrite.
+
+    Implementation: ONE pass computes per-tile counts (dimension-sized),
+    broadcast back; ``repartition(file_no = hash(sort rows into n_i
+    buckets))`` would break per-tile file budgets, so instead rows get a
+    per-tile file index from their sort rank and repartition on
+    (tile_id, file_idx) — every output file is written by exactly one
+    task. Dynamic partition overwrite swaps tiles atomically; the
+    checkpoint table is untouched (same rows, same fingerprints — the
+    lineage audit stays green across a compaction by construction).
+    """
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df = spark.read.parquet(out_dir)
+    counts = df.groupBy("tile_id").agg(F.count("*").alias("_n"))
+    w = Window.partitionBy("tile_id").orderBy(F.col(sort_col))
+    staged = (
+        df.join(F.broadcast(counts), "tile_id")
+        .withColumn(
+            "_fidx",
+            ((F.row_number().over(w) - 1) / F.lit(target_rows_per_file))
+            .cast("long"),
+        )
+        .drop("_n")
+    )
+    n_files = staged.select("tile_id", "_fidx").distinct().count()
+    compacted = (
+        staged.repartition(max(1, n_files), "tile_id", "_fidx")
+        .sortWithinPartitions("tile_id", "_fidx", sort_col)
+        .drop("_fidx")
+        # Spark refuses to overwrite a path that its own plan reads
+        # (analysis-time check; persist does NOT lift it). localCheckpoint
+        # cuts the lineage to a materialized base, making the in-place
+        # rewrite legal. That stages the data in executor storage — fine
+        # for the path-based sink here; against the Iceberg catalog the
+        # production form of this whole function is the
+        # rewrite_data_files/rewrite procedure through the S1 seam
+        # (sources/tables.py), which commits a new snapshot instead.
+        .localCheckpoint()
+    )
+    compacted.write.mode("overwrite").partitionBy("tile_id").parquet(out_dir)

@@ -92,3 +92,52 @@ def test_verify_lineage_detects_tampering(spark, tmp_path):
     shutil.rmtree(tile_dirs[0])
     bad = C.verify_lineage(spark, out, cp)
     assert bad.count() >= 1  # the deleted tile shows as a discrepancy
+
+
+def test_compact_records_preserves_data_and_shrinks_files(spark, tmp_path):
+    """Compaction: same rows + green lineage audit after, fewer files,
+    per-file budget respected, rows clustered by cell within files."""
+    import glob
+    import os
+
+    out = str(tmp_path / "records")
+    cp = str(tmp_path / "checkpoint")
+    records = _records(spark)
+    # force a small-file mess: one file per (tile, shuffle partition)
+    C.write_records_and_checkpoint(
+        records.repartition(16), out, cp, run_id="run1"
+    )
+
+    def _files():
+        return [
+            f
+            for f in glob.glob(os.path.join(out, "tile_id=*", "*.parquet"))
+            if os.path.getsize(f) > 0
+        ]
+
+    before_rows = spark.read.parquet(out).count()
+    before_files = len(_files())
+
+    C.compact_records(spark, out, target_rows_per_file=50)
+
+    after = spark.read.parquet(out)
+    assert after.count() == before_rows
+    assert (
+        after.select("record_id")
+        .exceptAll(records.select("record_id"))
+        .count()
+        == 0
+    )
+    after_files = len(_files())
+    assert after_files < before_files
+    # per-tile file budget: ceil(rows / target)
+    per_tile = {
+        r["tile_id"]: r["n"]
+        for r in after.groupBy("tile_id").agg(F.count("*").alias("n")).collect()
+    }
+    import math
+
+    expected = sum(math.ceil(n / 50) for n in per_tile.values())
+    assert after_files == expected
+    # lineage audit still green: same rows/fingerprints per tile
+    assert C.verify_lineage(spark, out, cp).count() == 0
