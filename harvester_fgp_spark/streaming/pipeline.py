@@ -203,3 +203,31 @@ def stream_join_fetch_log(
     return p.join(lg, cond, "inner").select(
         p["url"].alias("url"), "warc_ts", "log_ts", "status", "lang"
     )
+
+
+def sessionize_windows(
+    pages: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    streaming: bool = True,
+) -> DataFrame:
+    """Per-url session windows via Spark's native dynamic-gap
+    ``session_window`` — the streaming twin of the batch lag/running-sum
+    sessionizer (__spark_entry__ sessionize_events). A session closes
+    once the watermark passes its end + gap, so state per url is one
+    open window, not event history. The SAME plan runs in batch
+    (streaming=False drops the watermark, which batch ignores anyway) —
+    the identity test runs both and compares."""
+    src = pages.withWatermark("warc_ts", watermark) if streaming else pages
+    return (
+        src.groupBy(
+            F.session_window("warc_ts", gap).alias("w"), "url"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "url",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

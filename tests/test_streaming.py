@@ -230,3 +230,66 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         ("u://b", "2024-01-01 10:55:00", 304),
         ("u://c", "2024-01-01 12:01:00", 200),
     }
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Native dynamic-gap session_window: streaming output (append mode,
+    sessions finalized by the watermark) equals the batch run of the
+    identical plan."""
+    import pandas as pd
+
+    from harvester_fgp_spark.schemas import PAGES_SCHEMA
+    from harvester_fgp_spark.streaming.pipeline import (
+        read_pages_stream,
+        sessionize_windows,
+    )
+
+    src = str(tmp_path / "sess_src")
+    rows = [
+        ("u://a", "2024-01-01 10:00"),
+        ("u://a", "2024-01-01 10:10"),  # same session (gap 30m)
+        ("u://a", "2024-01-01 11:30"),  # new session
+        ("u://b", "2024-01-01 10:05"),
+        # late sentinel advances the watermark far enough to close all
+        ("u://z", "2024-01-02 00:00"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "url": [u for u, _ in rows],
+            "warc_ts": [pd.Timestamp(t) for _, t in rows],
+            "html": [None] * len(rows),
+            "text": ["x"] * len(rows),
+            "lang": ["en"] * len(rows),
+        }
+    )
+    df = spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+    df.coalesce(1).write.parquet(src)
+
+    q = (
+        sessionize_windows(read_pages_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_cp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["url"], str(r["session_start"]), r["n_events"])
+        for r in spark.sql("select * from sessions").collect()
+    }
+    batch = {
+        (r["url"], str(r["session_start"]), r["n_events"])
+        for r in sessionize_windows(
+            spark.read.parquet(src), streaming=False
+        ).collect()
+    }
+    # streaming append emits only watermark-closed sessions; the sentinel
+    # closes everything before it
+    closed_batch = {t for t in batch if not t[0] == "u://z"}
+    assert closed_batch <= got <= batch
+    assert ("u://a", "2024-01-01 10:00:00", 2) in got
+    assert ("u://a", "2024-01-01 11:30:00", 1) in got
