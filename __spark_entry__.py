@@ -1311,18 +1311,10 @@ def _q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     window -> idf = ln(N/df) rounded to 9dp before use (libm parity),
     per-posting scores summed in integer micro-units (float-accumulation-
     order-proof, the repo's standard float-aggregate trick)."""
-    from pyspark.sql import functions as F  # noqa: F811
+    from harvester_fgp_spark.operators.textops import term_frequencies
 
     docs = _read(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(
-                F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), F.lit(0)
-            )
-        ).alias("term"),
-    )
-    tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    tf = term_frequencies(docs)
     n_docs = docs.agg(F.count("*").alias("_n"))
     r = tf.withColumn(
         "df", F.count("*").over(Window.partitionBy("term"))

@@ -120,7 +120,14 @@ def dbscan(
     deg = pairs.groupBy(F.col("ia").alias("pid")).agg(
         F.count("*").alias("nbrs")
     )
-    core = deg.filter(F.col("nbrs") + 1 >= min_pts).select("pid").persist()
+    # degree over ALL points (neighbor-less points have no pairs row but
+    # still count themselves: at min_pts=1 an isolated point is core)
+    core = (
+        ids.join(deg, "pid", "left")
+        .filter(F.coalesce(F.col("nbrs"), F.lit(0)) + 1 >= min_pts)
+        .select("pid")
+        .persist()
+    )
     core.count()  # materialize while pairs is hot; reused 3x below
     core_edges = (
         pairs.join(core.select(F.col("pid").alias("ia")), "ia")
@@ -149,8 +156,9 @@ def dbscan(
         F.lit("noise").alias("role"),
         F.lit(None).cast("long").alias("cluster_id"),
     )
-    out = labeled.unionByName(noise).persist()
-    out.count()  # materialize, then drop the intermediates
+    # localCheckpoint (eager), not persist: materializes now — while the
+    # pairs cache is hot — and frees on GC, so callers never unpersist
+    out = labeled.unionByName(noise).localCheckpoint()
     pairs.unpersist()
     core.unpersist()
     return out

@@ -183,6 +183,25 @@ def hash_split_col(
     )
 
 
+def term_frequencies(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(term, doc, tf): the shared tokenize -> explode -> per-(term,doc)
+    pre-aggregation (map-side combinable) under the postings and TF-IDF
+    families. One definition so the tokenizer can't drift between them
+    (the oracle SQL twins share the same regex literal)."""
+    term = F.explode(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), F.lit(0)
+        )
+    ).alias("term")
+    return (
+        docs.select(F.col(id_col).alias("doc"), term)
+        .groupBy("term", "doc")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
 def inverted_postings(
     docs: DataFrame,
     text_col: str = "text",
@@ -206,16 +225,7 @@ def inverted_postings(
     then a final window over S*k survivors per term)."""
     from pyspark.sql import Window
 
-    term = F.explode(
-        F.regexp_extract_all(
-            F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), F.lit(0)
-        )
-    ).alias("term")
-    tf = (
-        docs.select(F.col(id_col).alias("doc"), term)
-        .groupBy("term", "doc")
-        .agg(F.count("*").alias("tf"))
-    )
+    tf = term_frequencies(docs, text_col=text_col, id_col=id_col)
     w = Window.partitionBy("term").orderBy(
         F.col("tf").desc(), F.col("doc").asc()
     )

@@ -232,40 +232,25 @@ def compact_records(
     kilobyte files, and the NameNode/S3-listing + per-file open cost
     eventually dwarfs the scan itself).
 
-    Per tile: coalesce to ceil(rows / target_rows_per_file) files and
-    sort rows by ``sort_col`` within each file, so parquet row-group
+    Per tile: rewrite into ceil(rows / target_rows_per_file) files with
+    rows sorted by ``sort_col`` within each file, so parquet row-group
     min/max stats become selective for cell-prefix predicates (the
     dominant read pattern) — compaction and clustering in one rewrite.
 
-    Implementation: ONE pass computes per-tile counts (dimension-sized),
-    broadcast back; ``repartition(file_no = hash(sort rows into n_i
-    buckets))`` would break per-tile file budgets, so instead rows get a
-    per-tile file index from their sort rank and repartition on
-    (tile_id, file_idx) — every output file is written by exactly one
-    task. Dynamic partition overwrite swaps tiles atomically; the
-    checkpoint table is untouched (same rows, same fingerprints — the
-    lineage audit stays green across a compaction by construction).
+    The per-tile file budget is enforced STRUCTURALLY, not by hashing:
+    repartition on tile_id puts a tile's rows in exactly one task, and
+    ``maxRecordsPerFile`` makes the writer roll a new file every
+    ``target`` rows — hashing a computed file index instead (the obvious
+    alternative) silently merges colliding same-tile groups into
+    oversized files. Dynamic partition overwrite swaps tiles atomically;
+    the checkpoint table is untouched (same rows, same fingerprints —
+    the lineage audit stays green across a compaction by construction).
     """
-    from pyspark.sql import Window
-
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df = spark.read.parquet(out_dir)
-    counts = df.groupBy("tile_id").agg(F.count("*").alias("_n"))
-    w = Window.partitionBy("tile_id").orderBy(F.col(sort_col))
-    staged = (
-        df.join(F.broadcast(counts), "tile_id")
-        .withColumn(
-            "_fidx",
-            ((F.row_number().over(w) - 1) / F.lit(target_rows_per_file))
-            .cast("long"),
-        )
-        .drop("_n")
-    )
-    n_files = staged.select("tile_id", "_fidx").distinct().count()
     compacted = (
-        staged.repartition(max(1, n_files), "tile_id", "_fidx")
-        .sortWithinPartitions("tile_id", "_fidx", sort_col)
-        .drop("_fidx")
+        df.repartition(F.col("tile_id"))
+        .sortWithinPartitions("tile_id", sort_col)
         # Spark refuses to overwrite a path that its own plan reads
         # (analysis-time check; persist does NOT lift it). localCheckpoint
         # cuts the lineage to a materialized base, making the in-place
@@ -276,4 +261,9 @@ def compact_records(
         # (sources/tables.py), which commits a new snapshot instead.
         .localCheckpoint()
     )
-    compacted.write.mode("overwrite").partitionBy("tile_id").parquet(out_dir)
+    (
+        compacted.write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .partitionBy("tile_id")
+        .parquet(out_dir)
+    )

@@ -118,7 +118,12 @@ def test_compact_records_preserves_data_and_shrinks_files(spark, tmp_path):
     before_rows = spark.read.parquet(out).count()
     before_files = len(_files())
 
-    C.compact_records(spark, out, target_rows_per_file=50)
+    # target=2 so some tiles genuinely need MULTIPLE files — a larger
+    # target made every tile a single group and the budget assertion
+    # vacuous (review finding: the old hash-on-(tile,fidx) plan merged
+    # colliding same-tile groups into oversized files and still passed)
+    target = 2
+    C.compact_records(spark, out, target_rows_per_file=target)
 
     after = spark.read.parquet(out)
     assert after.count() == before_rows
@@ -130,14 +135,20 @@ def test_compact_records_preserves_data_and_shrinks_files(spark, tmp_path):
     )
     after_files = len(_files())
     assert after_files < before_files
-    # per-tile file budget: ceil(rows / target)
+    # HARD budget: no single file exceeds target rows
+    import pyarrow.parquet as pq
+
+    per_file = [pq.read_metadata(f).num_rows for f in _files()]
+    assert max(per_file) <= target
+    # exact per-tile file count: ceil(rows / target), and some tile >1
     per_tile = {
         r["tile_id"]: r["n"]
         for r in after.groupBy("tile_id").agg(F.count("*").alias("n")).collect()
     }
     import math
 
-    expected = sum(math.ceil(n / 50) for n in per_tile.values())
+    expected = sum(math.ceil(n / target) for n in per_tile.values())
     assert after_files == expected
+    assert any(n > target for n in per_tile.values())
     # lineage audit still green: same rows/fingerprints per tile
     assert C.verify_lineage(spark, out, cp).count() == 0

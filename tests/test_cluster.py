@@ -247,3 +247,18 @@ def test_domain_mix_thresholds_and_determinism(spark):
         .collect()
     }
     assert again == {s: v[1] for s, v in agg.items()}
+
+
+def test_dbscan_min_pts_one_isolated_point_is_core(spark):
+    """Review regression: a neighbor-less point counts ITSELF, so at
+    min_pts=1 it is a singleton core cluster, not noise."""
+    from harvester_fgp_spark.operators.cluster import dbscan
+
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 10000, 10000)], "pid long, x long, y long"
+    )
+    rows = sorted(
+        (r["pid"], r["role"], r["cluster_id"])
+        for r in dbscan(df, eps=100, min_pts=1).collect()
+    )
+    assert rows == [(1, "core", 1), (2, "core", 2)]
