@@ -1346,6 +1346,25 @@ def _q_pivot_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unpivot_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-family UNPIVOT/melt (round 3, tail/local-gate): wide per-source
+    lang counts melted back to long form via DataFrame.unpivot — the
+    native inverse of pivot; the DuckDB twin is a UNION ALL per column."""
+    docs = _read(spark, sf_dir, "documents")
+    wide = docs.groupBy("source").agg(
+        *[
+            F.count_if(F.col("lang") == lang).alias(lang)
+            for lang in ("de", "en", "es", "fr", "zh")
+        ]
+    )
+    return wide.unpivot(
+        ids=["source"],
+        values=["de", "en", "es", "fr", "zh"],
+        variableColumnName="lang",
+        valueColumnName="n_docs",
+    ).select("source", "lang", F.col("n_docs").cast("long").alias("n_docs"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-row report window covers every DISTINCT
     capability: CORRECTNESS_r02 showed the gate records only the first 50
@@ -1430,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bbox_cover": _q_geo_bbox_cover,
         "text_tfidf": _q_text_tfidf,
         "pivot_documents": _q_pivot_documents,
+        "unpivot_documents": _q_unpivot_documents,
     }
 
 
@@ -2543,6 +2563,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
                    CAST(COUNT(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
             FROM documents GROUP BY source
+        """,
+        "unpivot_documents": """
+            WITH wide AS (
+                SELECT source,
+                       COUNT(*) FILTER (WHERE lang = 'de') AS de,
+                       COUNT(*) FILTER (WHERE lang = 'en') AS en,
+                       COUNT(*) FILTER (WHERE lang = 'es') AS es,
+                       COUNT(*) FILTER (WHERE lang = 'fr') AS fr,
+                       COUNT(*) FILTER (WHERE lang = 'zh') AS zh
+                FROM documents GROUP BY source
+            )
+            SELECT source, 'de' AS lang, CAST(de AS BIGINT) AS n_docs FROM wide
+            UNION ALL
+            SELECT source, 'en', CAST(en AS BIGINT) FROM wide
+            UNION ALL
+            SELECT source, 'es', CAST(es AS BIGINT) FROM wide
+            UNION ALL
+            SELECT source, 'fr', CAST(fr AS BIGINT) FROM wide
+            UNION ALL
+            SELECT source, 'zh', CAST(zh AS BIGINT) FROM wide
         """,
         # dedup_minhash / dedup_simhash / ann_lsh / ann_ivf /
         # approx_distinct_users / polygon_tiles / pipeline_flagship:
