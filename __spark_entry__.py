@@ -1365,6 +1365,32 @@ def _q_unpivot_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "lang", F.col("n_docs").cast("long").alias("n_docs"))
 
 
+def _q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subqueries (round 3, tail/local-gate): EXISTS (Catalyst
+    rewrites to a left-semi join), NOT EXISTS (anti join), and a
+    correlated scalar subquery in the projection — the three subquery
+    shapes, identical SQL on both engines."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+    return spark.sql(
+        """
+        SELECT o.o_orderstatus,
+               COUNT(*) AS n_with_big_item,
+               CAST(SUM((SELECT COUNT(*) FROM lineitem_sq l2
+                         WHERE l2.l_orderkey = o.o_orderkey)) AS BIGINT)
+                   AS sum_items
+        FROM orders_sq o
+        WHERE EXISTS (SELECT 1 FROM lineitem_sq l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity >= 49)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_sq l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+        GROUP BY o.o_orderstatus
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-row report window covers every DISTINCT
     capability: CORRECTNESS_r02 showed the gate records only the first 50
@@ -1450,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _q_text_tfidf,
         "pivot_documents": _q_pivot_documents,
         "unpivot_documents": _q_unpivot_documents,
+        "subquery_exists": _q_subquery_exists,
     }
 
 
@@ -2583,6 +2610,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, 'fr', CAST(fr AS BIGINT) FROM wide
             UNION ALL
             SELECT source, 'zh', CAST(zh AS BIGINT) FROM wide
+        """,
+        "subquery_exists": """
+            SELECT o.o_orderstatus,
+                   COUNT(*) AS n_with_big_item,
+                   CAST(SUM((SELECT COUNT(*) FROM lineitem l2
+                             WHERE l2.l_orderkey = o.o_orderkey)) AS BIGINT)
+                       AS sum_items
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_quantity >= 49)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey
+                                AND l.l_returnflag = 'R')
+            GROUP BY o.o_orderstatus
         """,
         # dedup_minhash / dedup_simhash / ann_lsh / ann_ivf /
         # approx_distinct_users / polygon_tiles / pipeline_flagship:
