@@ -1391,6 +1391,55 @@ def _q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (round 3, tail/local-gate): a fixed daily
+    scaffold per user (native sequence + explode — no cartesian node),
+    left join of observed daily aggregates, forward fill via
+    last_value IGNORE NULLS. Daily sums go through the DECIMAL cast
+    (exact both engines); the scaffold range is a literal, so no
+    min/max subquery has to agree cross-engine."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("day_sum"),
+    )
+    scaffold = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn(
+            "day",
+            F.explode(
+                F.expr(
+                    "sequence(to_date('2024-01-01'), to_date('2024-01-30'),"
+                    " interval 1 day)"
+                )
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scaffold.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias(
+                "n_events"
+            ),
+            F.coalesce(
+                F.last("day_sum", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("filled_sum"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-row report window covers every DISTINCT
     capability: CORRECTNESS_r02 showed the gate records only the first 50
@@ -1477,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_documents": _q_pivot_documents,
         "unpivot_documents": _q_unpivot_documents,
         "subquery_exists": _q_subquery_exists,
+        "gap_fill_events": _q_gap_fill_events,
     }
 
 
@@ -2625,6 +2675,36 @@ def oracle_sql() -> dict[str, str]:
                               WHERE l.l_orderkey = o.o_orderkey
                                 AND l.l_returnflag = 'R')
             GROUP BY o.o_orderstatus
+        """,
+        "gap_fill_events": """
+            WITH ev AS (
+                SELECT * FROM events WHERE user_id % 7 = 0
+            ),
+            daily AS (
+                SELECT user_id, CAST(ts AS DATE) AS day,
+                       COUNT(*) AS n_events,
+                       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                           AS day_sum
+                FROM ev GROUP BY 1, 2
+            ),
+            scaffold AS (
+                SELECT u.user_id, CAST(d.day AS DATE) AS day
+                FROM (SELECT DISTINCT user_id FROM ev) u,
+                     UNNEST(generate_series(DATE '2024-01-01',
+                                            DATE '2024-01-30',
+                                            INTERVAL 1 DAY)) AS d(day)
+            )
+            SELECT s.user_id,
+                   strftime(s.day, '%Y-%m-%d') AS day,
+                   CAST(COALESCE(daily.n_events, 0) AS BIGINT) AS n_events,
+                   COALESCE(
+                       last_value(daily.day_sum IGNORE NULLS) OVER (
+                           PARTITION BY s.user_id ORDER BY s.day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ), 0.0) AS filled_sum
+            FROM scaffold s
+            LEFT JOIN daily ON daily.user_id = s.user_id
+                           AND daily.day = s.day
         """,
         # dedup_minhash / dedup_simhash / ann_lsh / ann_ivf /
         # approx_distinct_users / polygon_tiles / pipeline_flagship:
