@@ -1463,7 +1463,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tile_assign": _q_geo_tile_assign,
         "geo_box_join": _q_geo_box_join,
         "geo_box_tile_summary": _q_geo_box_tile_summary,
-        "geo_knn": _q_geo_knn,
         "geo_knn_exact": _q_geo_knn_exact,
         "tile_group_stats": _q_tile_group_stats,
         "tile_centroid_gagg": _q_tile_centroid_gagg,
@@ -1494,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_spans": _q_dedup_spans,
         "corpus_clean": _q_corpus_clean,
+        "subquery_exists": _q_subquery_exists,
         "corpus_split": _q_corpus_split,
         "text_postings": _q_text_postings,
         "decontaminate": _q_decontaminate,
@@ -1525,8 +1525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _q_text_tfidf,
         "pivot_documents": _q_pivot_documents,
         "unpivot_documents": _q_unpivot_documents,
-        "subquery_exists": _q_subquery_exists,
         "gap_fill_events": _q_gap_fill_events,
+        "geo_knn": _q_geo_knn,
     }
 
 
