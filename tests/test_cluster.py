@@ -56,8 +56,10 @@ def _brute_dbscan(ids, xy, eps, min_pts):
     return label
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
-def test_dbscan_matches_brute_force(spark, seed):
+@pytest.mark.parametrize(
+    "seed,min_pts", [(0, 4), (1, 4), (2, 4), (0, 2)]
+)
+def test_dbscan_matches_brute_force(spark, seed, min_pts):
     from harvester_fgp_spark.operators.cluster import dbscan
 
     rng = np.random.default_rng(seed)
@@ -72,7 +74,7 @@ def test_dbscan_matches_brute_force(spark, seed):
         ]
     )
     ids = list(range(1, n + 1))
-    eps, min_pts = 150, 4
+    eps = 150
     expected = _brute_dbscan(ids, pts, eps, min_pts)
 
     df = spark.createDataFrame(
