@@ -1440,6 +1440,35 @@ def _q_gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line dedup (round 3, tail/local-gate): a boilerplate
+    sentence is planted onto every 3rd document; remove_duplicate_lines
+    must strip exactly those lines corpus-wide and stitch the rest back
+    in order. Verified via per-lang char/doc aggregates over the
+    reconstructed text (sha-free: concat order is part of the check)."""
+    from harvester_fgp_spark.operators.textops import remove_duplicate_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("cookie notice accept terms. "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = remove_duplicate_lines(corpus, sep=". ", min_occurrences=10)
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("clean_text")).cast("long").alias("sum_clean_chars"),
+        F.count_if(
+            F.length("clean_text") < F.length("text")
+        ).alias("n_changed"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-row report window covers every DISTINCT
     capability: CORRECTNESS_r02 showed the gate records only the first 50
@@ -1527,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_documents": _q_unpivot_documents,
         "gap_fill_events": _q_gap_fill_events,
         "geo_knn": _q_geo_knn,
+        "dedup_lines": _q_dedup_lines,
     }
 
 
@@ -2705,6 +2735,45 @@ def oracle_sql() -> dict[str, str]:
             FROM scaffold s
             LEFT JOIN daily ON daily.user_id = s.user_id
                            AND daily.day = s.day
+        """,
+        "dedup_lines": """
+            WITH corpus AS (
+                SELECT doc_id, lang,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'cookie notice accept terms. ' || text
+                            ELSE text END AS text
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id, lang, text,
+                       string_split(text, '. ') AS ls
+                FROM corpus
+            ),
+            lines AS (
+                SELECT doc_id, i AS pos, ls[i] AS line
+                FROM w, UNNEST(range(1, len(ls) + 1)) AS t(i)
+            ),
+            dup AS (
+                SELECT line FROM lines GROUP BY line HAVING COUNT(*) >= 10
+            ),
+            kept AS (
+                SELECT doc_id, pos, line FROM lines
+                WHERE line NOT IN (SELECT line FROM dup)
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       array_to_string(list(line ORDER BY pos), '. ')
+                           AS clean_text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(length(COALESCE(clean_text, ''))) AS BIGINT)
+                       AS sum_clean_chars,
+                   CAST(COUNT(*) FILTER (
+                       WHERE length(COALESCE(clean_text, '')) < length(text)
+                   ) AS BIGINT) AS n_changed
+            FROM w LEFT JOIN rebuilt USING (doc_id)
+            GROUP BY lang
         """,
         # dedup_minhash / dedup_simhash / ann_lsh / ann_ivf /
         # approx_distinct_users / polygon_tiles / pipeline_flagship:

@@ -309,3 +309,56 @@ def domain_mix(
     return docs.join(F.broadcast(thr), source_col).withColumn(
         "kept", bucket < F.col("thr")
     )
+
+
+def remove_duplicate_lines(
+    docs: DataFrame,
+    sep: str = ". ",
+    min_occurrences: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style LINE-level dedup with text reconstruction: any line that
+    appears in >= ``min_occurrences`` places across the corpus (cookie
+    banners, nav boilerplate, license footers) is dropped from every
+    document, and the surviving lines are stitched back in original
+    order.
+
+    Scale shape: posexplode keeps (id, pos, line); the dup-line set
+    comes from one groupBy on the line and is removed with a left-anti
+    join — NOT broadcast, because boilerplate cardinality is corpus-
+    dependent and unbounded (AQE may still choose broadcast when it fits).
+    Reconstruction is one groupBy(id) with an ordered rebuild:
+    array_sort(collect_list(struct(pos, line))) -> transform -> concat_ws
+    — per-doc line lists, bounded by document size.
+    """
+    # escape ONLY regex metachars (escaping a letter would change its
+    # meaning in Java regex, e.g. \\n); Spark split takes a regex
+    esc = "".join(
+        "\\" + c if c in ".\\^$|?*+()[]{}" else c for c in sep
+    )
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), esc)).alias("pos", "line"),
+    )
+    dup = (
+        lines.groupBy("line")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_occurrences)
+        .select("line")
+    )
+    kept = lines.join(dup, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text")
+    )
+    return docs.join(rebuilt, id_col, "left").withColumn(
+        "clean_text", F.coalesce(F.col("clean_text"), F.lit(""))
+    )

@@ -264,3 +264,31 @@ def test_dbscan_min_pts_one_isolated_point_is_core(spark):
         for r in dbscan(df, eps=100, min_pts=1).collect()
     )
     assert rows == [(1, "core", 1), (2, "core", 2)]
+
+
+def test_remove_duplicate_lines_hand_example(spark):
+    """Boilerplate stripped everywhere, unique lines kept in order, a
+    fully-boilerplate doc becomes empty (not null)."""
+    from harvester_fgp_spark.operators.textops import remove_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep one. SPAM. keep two"),
+            (2, "SPAM. middle stays. SPAM"),
+            (3, "SPAM. SPAM"),
+            (4, "all unique here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_lines(
+            docs, sep=". ", min_occurrences=3
+        ).collect()
+    }
+    assert got == {
+        1: "keep one. keep two",
+        2: "middle stays",
+        3: "",
+        4: "all unique here",
+    }
