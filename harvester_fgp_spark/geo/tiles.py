@@ -68,6 +68,47 @@ def unpack_tile(tid: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return (t >> np.int64(58)), (t >> np.int64(29)) & mask, t & mask
 
 
+def _edge_supercover(rings: list, z: int) -> set:
+    """Every (tile_x, tile_y) a ring edge passes through — EXACT for
+    straight lon/lat segments. Column bands are linear in lon, so a
+    segment's lat range within one column sits at the column's two
+    boundary lons (linear interpolation); converting that lat range
+    through the (monotone) mercator y gives the row span. Vertex tiles
+    are the degenerate one-column case, so this is a strict superset of
+    the old contains-a-vertex rule."""
+    n = 1 << z
+    nf = float(n)
+    tiles: set = set()
+    for rx, ry in rings:
+        rx = np.asarray(rx, dtype=np.float64)
+        ry = np.asarray(ry, dtype=np.float64)
+        if rx[0] != rx[-1] or ry[0] != ry[-1]:  # ensure closure
+            rx = np.append(rx, rx[0])
+            ry = np.append(ry, ry[0])
+        for i in range(len(rx) - 1):
+            lon0, lat0, lon1, lat1 = rx[i], ry[i], rx[i + 1], ry[i + 1]
+            if lon1 < lon0:
+                lon0, lat0, lon1, lat1 = lon1, lat1, lon0, lat0
+            x0 = int(point_to_tile(np.array([lon0]), np.array([lat0]), z)[0][0])
+            x1 = int(point_to_tile(np.array([lon1]), np.array([lat1]), z)[0][0])
+            for c in range(x0, x1 + 1):
+                if lon1 == lon0:
+                    la_lat, lb_lat = lat0, lat1
+                else:
+                    la = lon0 if c == x0 else (c / nf * 360.0 - 180.0)
+                    lb = lon1 if c == x1 else ((c + 1) / nf * 360.0 - 180.0)
+                    ta = (la - lon0) / (lon1 - lon0)
+                    tb = (lb - lon0) / (lon1 - lon0)
+                    la_lat = lat0 + ta * (lat1 - lat0)
+                    lb_lat = lat0 + tb * (lat1 - lat0)
+                ys = point_to_tile(
+                    np.array([0.0, 0.0]), np.array([la_lat, lb_lat]), z
+                )[1]
+                for ty in range(int(ys.min()), int(ys.max()) + 1):
+                    tiles.add((c, ty))
+    return tiles
+
+
 def rasterize_rings_to_tiles(
     rings: list, z: int = DEFAULT_TILE_Z
 ) -> np.ndarray:
@@ -75,14 +116,17 @@ def rasterize_rings_to_tiles(
     raster<->vector; even-odd across rings since round 3, matching the
     PIP index's semantics).
 
-    Conservative scanline over the tile grid of the all-rings bbox: a
-    tile is emitted if its center is inside under the even-odd rule
-    (XOR of per-ring ray casts — holes punch out interior tiles) OR it
-    contains any ring vertex (every boundary tile, including hole
-    boundaries, genuinely touches the polygon). For the bounded
-    collection-polygon sizes this engine joins against (FIXTURES.md §2:
-    radii <= 5°), bbox-grid enumeration is exact enough for candidate
-    generation and is fully vectorized per polygon.
+    EXACT cover (round-3 review fix): a tile overlaps the polygon iff
+    (a) a polygon edge crosses it -> it is in the per-edge supercover,
+    (b) the tile is entirely inside -> its center is inside under the
+    even-odd rule (XOR of per-ring ray casts — holes punch out interior
+    tiles), or (c) the polygon is entirely inside the tile -> its
+    vertices are, and vertex tiles are in the supercover. The old
+    contains-a-vertex rule missed tiles a thin sliver crossed without
+    leaving a vertex; the supercover cannot. Fully vectorized center
+    test over the all-rings bbox grid; the supercover loop is per edge
+    x per crossed column (collection polygons: <= 64 verts, <= 5° radii
+    — a few dozen iterations per polygon).
     """
     from .pip import points_in_ring
 
@@ -100,20 +144,18 @@ def rasterize_rings_to_tiles(
     cx = (gx + 0.5) / nf * 360.0 - 180.0
     cy = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (gy + 0.5) / nf))))
     inside = np.zeros(len(gx), dtype=bool)
-    vset: set = set()
     for ring_x, ring_y in rings:
         inside ^= points_in_ring(cx, cy, ring_x, ring_y)
-        vx, vy = point_to_tile(ring_x, ring_y, z)
-        vset.update(zip(vx.tolist(), vy.tolist()))
-    on_edge = np.fromiter(
-        (pair in vset for pair in zip(gx.tolist(), gy.tolist())),
-        dtype=bool,
-        count=len(gx),
+    grid_ids = pack_tile(
+        np.full(int(inside.sum()), z, dtype=np.int64), gx[inside], gy[inside]
     )
-    keep = inside | on_edge
-    tids = pack_tile(np.full(keep.sum(), z, dtype=np.int64), gx[keep], gy[keep])
-    tids.sort()
-    return tids
+    sc = _edge_supercover(rings, z)
+    if sc:
+        scx = np.array([c for c, _ in sc], dtype=np.int64)
+        scy = np.array([t for _, t in sc], dtype=np.int64)
+        sc_ids = pack_tile(np.full(len(sc), z, dtype=np.int64), scx, scy)
+        return np.unique(np.concatenate([grid_ids, sc_ids]))
+    return np.unique(grid_ids)
 
 
 def rasterize_ring_to_tiles(

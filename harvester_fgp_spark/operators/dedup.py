@@ -28,8 +28,16 @@ SHINGLE_K = 3
 
 _MERSENNE = (1 << 61) - 1
 _rng = np.random.default_rng(1234)
-_PERM_A = _rng.integers(1, _MERSENNE, size=NUM_PERM, dtype=np.int64)
+# Operand bounds are chosen so a*x + b NEVER wraps uint64: a < 2^32 and
+# x masked to 31 bits give a*x < 2^63, + b < 2^61 stays < 2^64 — the
+# earlier a,x < 2^61 draw silently wrapped mod 2^64 BEFORE the mod-p,
+# which is deterministic but not the (a*x+b) mod p universal family the
+# LSH banding S-curve math assumes (round-3 review finding). 31-bit gram
+# projections add ~2^-31 collision probability per gram pair —
+# negligible against the banding's own false-negative rate.
+_PERM_A = _rng.integers(1, 1 << 32, size=NUM_PERM, dtype=np.int64)
 _PERM_B = _rng.integers(0, _MERSENNE, size=NUM_PERM, dtype=np.int64)
+_X_MASK = np.uint64((1 << 31) - 1)
 
 # Odd multiplier for the polynomial word-gram rolling hash (golden-ratio
 # constant); powers wrap mod 2^64, which is exactly what uint64 gives.
@@ -98,10 +106,11 @@ def _gram_hashes(text: str) -> np.ndarray:
 
 
 def _minhash_batch(texts: pd.Series) -> pd.Series:
-    """(a*x + b) mod p per permutation over the whole batch's gram array,
-    then ``np.minimum.reduceat`` per document — 32 vector passes total,
-    no per-document Python. Empty docs -> all-zero signature, null docs
-    -> null (same surface as the old scalar kernel)."""
+    """(a*x + b) mod p per permutation over the whole batch's gram array
+    (a < 2^32, x < 2^31: the product provably fits uint64 — see the
+    _PERM_A comment), then ``np.minimum.reduceat`` per document — 32
+    vector passes total, no per-document Python. Empty docs -> all-zero
+    signature, null docs -> null (same surface as the scalar kernel)."""
     t = texts.reset_index(drop=True)
     rows = len(t)
     gram_row, gram_hash = _gram_hash_arrays(t)
@@ -109,7 +118,7 @@ def _minhash_batch(texts: pd.Series) -> pd.Series:
     if len(gram_row):
         with_grams = np.unique(gram_row)
         starts = np.searchsorted(gram_row, with_grams)
-        x = (gram_hash & np.uint64((1 << 61) - 1)).astype(np.uint64)
+        x = (gram_hash & _X_MASK).astype(np.uint64)
         for p in range(NUM_PERM):
             v = (
                 x * np.uint64(_PERM_A[p]) + np.uint64(_PERM_B[p])
@@ -167,7 +176,20 @@ def band_table(
     asserts no string column ever enters this table.
     """
     rows_per_band = NUM_PERM // NUM_BANDS
-    sig = docs.select(F.col(id_col), minhash_udf(F.col(text_col)).alias("sig"))
+    # Drop null/empty documents BEFORE signing: they all produce the same
+    # signature (null -> null slices hash to the xxhash64 seed constant;
+    # empty -> the all-zero signature), so a corpus with 100k
+    # extraction-failed docs would put all of them in ONE bucket per band
+    # — a quadratic pair explosion inside a single collect_list row — and
+    # then report them as jaccard-1.0 "duplicates" of each other. Content
+    # dedup of contentless docs is meaningless; callers handle empties as
+    # a validity class (P2 quarantine), not near-dups.
+    nonempty = docs.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    )
+    sig = nonempty.select(
+        F.col(id_col), minhash_udf(F.col(text_col)).alias("sig")
+    )
     return sig.select(
         id_col,
         F.explode(
@@ -264,6 +286,25 @@ def minhash_near_dup_pairs(
     )
 
 
+def _window_hash_rows(df, n_tokens, text_col, id_cols):
+    """One xxhash64 per n_tokens-word window, one row per position —
+    the shared rolling-window construction under duplicate_span_counts
+    and decontaminate (was duplicated; round-3 review dedup). Native
+    transform/sequence/slice: no Python, no text past the scan."""
+    w = F.split(F.col(text_col), " ")
+    return df.filter(F.size(w) >= n_tokens).select(
+        *id_cols,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n_tokens),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(w, i + 1, n_tokens))
+                ),
+            )
+        ).alias("wh"),
+    )
+
+
 def duplicate_span_counts(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -278,49 +319,35 @@ def duplicate_span_counts(
     The suffix-array formulation of train-data span dedup doesn't
     distribute; the equivalent corpus-scale shape is a rolling window
     hash: every document emits one xxhash64 per token window (native
-    transform/sequence/slice — no Python), repeated windows fall out of
-    one groupBy on the hash, and a second equi-join attributes them back
-    to documents. Cost is O(total tokens) rows through two shuffles on an
-    8-byte key — no text leaves the scan stage.
+    transform/sequence/slice — no Python), the global occurrence count
+    rides a window function over the hash key, and one per-document
+    groupBy finishes. Cost is O(total tokens) rows through two shuffles
+    on an 8-byte key, with the tokenize/hash scan evaluated exactly ONCE
+    — no text leaves the scan stage.
 
     Output: (id, n_windows, n_dup_windows) per document that has >= 1
     window; callers drop or trim documents above a duplication ratio.
     """
-    w = F.split(F.col(text_col), " ")
-    occ = (
-        docs.filter(F.size(w) >= n_tokens)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(w) - n_tokens),
-                    lambda i: F.xxhash64(
-                        F.concat_ws(" ", F.slice(w, i + 1, n_tokens))
-                    ),
-                )
-            ).alias("wh"),
-        )
-    )
-    dup = (
-        occ.groupBy("wh")
-        .agg(F.count("*").alias("_c"))
-        .filter(F.col("_c") >= min_occurrences)
-        .select("wh")
-    )
+    occ = _window_hash_rows(docs, n_tokens, text_col, [F.col(id_col)])
+    # Single-evaluation chain (round-3 review fix: the dup-set groupBy +
+    # semi-join + totals groupBy consumed occ THREE times, re-running the
+    # full-corpus tokenize/hash/explode scan each time — Spark never CSEs
+    # multi-consumer subtrees): the global occurrence count rides a
+    # window over the SAME shuffle key instead, then one per-doc groupBy
+    # finishes. Two shuffles total, occ evaluated exactly once.
+    from pyspark.sql import Window
+
+    tot = F.count("*").over(Window.partitionBy("wh"))
     return (
-        occ.join(dup, "wh", "left_semi")
+        occ.withColumn("_tot", tot)
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_dup_windows"))
-        .join(
-            occ.groupBy(id_col).agg(F.count("*").alias("n_windows")),
-            id_col,
-            "right",
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count_if(F.col("_tot") >= min_occurrences).alias(
+                "n_dup_windows"
+            ),
         )
-        .select(
-            id_col,
-            "n_windows",
-            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
-        )
+        .select(id_col, "n_windows", "n_dup_windows")
     )
 
 
@@ -594,23 +621,8 @@ def decontaminate(
     """
 
     def grams(df: DataFrame, with_id: bool) -> DataFrame:
-        w = F.split(F.col(text_col), " ")
         cols = [F.col(id_col)] if with_id else []
-        return (
-            df.filter(F.size(w) >= n_tokens)
-            .select(
-                *cols,
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(w) - n_tokens),
-                        lambda i: F.xxhash64(
-                            F.concat_ws(" ", F.slice(w, i + 1, n_tokens))
-                        ),
-                    )
-                ).alias("wh"),
-            )
-            .distinct()
-        )
+        return _window_hash_rows(df, n_tokens, text_col, cols).distinct()
 
     bench_g = F.broadcast(grams(bench, with_id=False))
     return (

@@ -31,6 +31,16 @@ from ..geo import cells as _cells
 from ..geo import pip as _pip
 from ..geo import tiles as _tiles
 
+
+def _ring_xy(ring) -> "tuple[np.ndarray, np.ndarray]":
+    """Struct-row ring -> (x, y) float64 arrays — shared by the PIP index
+    builder, the coarse cell-map, and the tile rasterizer (was
+    copy-pasted in all three; round-3 review dedup)."""
+    return (
+        np.array([p["x"] for p in ring], dtype=np.float64),
+        np.array([p["y"] for p in ring], dtype=np.float64),
+    )
+
 # --- G1: point -> cell ---------------------------------------------------------
 
 
@@ -202,16 +212,10 @@ def build_polygon_index(polygons_pdf: pd.DataFrame) -> _pip.PolygonIndex:
     multipolygon parts, round 3) every ring feeds the even-odd PIP;
     otherwise the single ``ring`` column is the 1-ring case."""
 
-    def _xy(ring) -> tuple[np.ndarray, np.ndarray]:
-        return (
-            np.array([p["x"] for p in ring], dtype=np.float64),
-            np.array([p["y"] for p in ring], dtype=np.float64),
-        )
-
     if "rings" in polygons_pdf.columns:
-        rings = [[_xy(r) for r in poly] for poly in polygons_pdf["rings"]]
+        rings = [[_ring_xy(r) for r in poly] for poly in polygons_pdf["rings"]]
     else:
-        rings = [_xy(ring) for ring in polygons_pdf["ring"]]
+        rings = [_ring_xy(ring) for ring in polygons_pdf["ring"]]
     return _pip.PolygonIndex(polygons_pdf["polygon_id"].tolist(), rings)
 
 
@@ -269,17 +273,11 @@ def _polygon_cell_map_rows(polygons_pdf: pd.DataFrame) -> list[tuple]:
     casing). One row per cover cell: (cell, [{polygon_id, edges}])."""
     from collections import defaultdict
 
-    def _xy(ring) -> tuple[np.ndarray, np.ndarray]:
-        return (
-            np.array([p["x"] for p in ring], dtype=np.float64),
-            np.array([p["y"] for p in ring], dtype=np.float64),
-        )
-
     multi = "rings" in polygons_pdf.columns
     cell_map: dict[int, list] = defaultdict(list)
     for row in polygons_pdf.itertuples():
         rings = (
-            [_xy(r) for r in row.rings] if multi else [_xy(row.ring)]
+            [_ring_xy(r) for r in row.rings] if multi else [_ring_xy(row.ring)]
         )
         edges = [
             (float(rx[i]), float(ry[i]), float(rx[i + 1]), float(ry[i + 1]))
@@ -373,18 +371,12 @@ def polygon_tiles(polygons: DataFrame, z: int = _tiles.DEFAULT_TILE_Z) -> DataFr
     multi = "rings" in polygons.columns
     in_cols = ["polygon_id", "rings" if multi else "ring"]
 
-    def _xy(ring) -> tuple[np.ndarray, np.ndarray]:
-        return (
-            np.array([p["x"] for p in ring], dtype=np.float64),
-            np.array([p["y"] for p in ring], dtype=np.float64),
-        )
-
     def _rast(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pids: list[str] = []
             tids: list[int] = []
             for pid, poly in zip(pdf["polygon_id"], pdf[in_cols[1]]):
-                rings = [_xy(r) for r in poly] if multi else [_xy(poly)]
+                rings = [_ring_xy(r) for r in poly] if multi else [_ring_xy(poly)]
                 t = _tiles.rasterize_rings_to_tiles(rings, z)
                 pids.extend([pid] * len(t))
                 tids.extend(t.tolist())
@@ -410,6 +402,15 @@ def rasterize_vertices_native(verts: DataFrame, z: int) -> DataFrame:
     which is the shape that survives 10^12 tiles — and, unlike the numpy
     kernel, it is SQL-expressible, so the driver gate value-checks it
     against a DuckDB longhand (polygon_raster_sql).
+
+    COVER RULE — approximate, stated precisely: a tile is kept iff its
+    center is inside (even-odd) or it contains a vertex. A tile crossed
+    by an edge that leaves no vertex in it and whose center is outside
+    (a thin sliver passing through) is MISSED; the numpy kernel
+    (geo.tiles.rasterize_rings_to_tiles) upgraded to an exact per-edge
+    supercover in round 3 and is the production G7 path — this
+    declarative twin stays on the simpler rule its oracle mirrors, and
+    is the candidate-generation demonstration, not the exact cover.
 
     Input `verts`: one row per polygon vertex — (pid, k, j, vx, vy) with
     k = vertex count, j = 0..k-1 in ring order, and (vx, vy) ALREADY in
@@ -618,13 +619,23 @@ def knn_join(
             )
             bound = cell_boundary_dist_km(F.col("q_lat"), F.col("q_lon"), lv)
             sat = (F.col("_n") >= k) & (F.col("_dk") + F.lit(2e-6) <= bound)
-            outs.append(
-                stats.filter(sat & (F.col("knn_rank") <= k)).drop(
-                    "_n", "_dk", "_d_raw"
-                )
+            # localCheckpoint the SMALL filtered output (<= k rows per
+            # satisfied query): the big join+window subtree behind
+            # ``stats`` would otherwise re-execute once per remaining
+            # level (out_lv + the whole remaining chain reference it —
+            # Spark never CSEs multi-consumer subtrees). ``done`` derives
+            # from the checkpointed frame (a satisfied query always has
+            # its rank<=k rows there), so each level's join runs ONCE.
+            out_lv = (
+                stats.filter(sat & (F.col("knn_rank") <= k))
+                .drop("_n", "_dk", "_d_raw")
+                .localCheckpoint()
             )
-            done = stats.filter(sat).select(query_id).distinct()
-            remaining = remaining.join(done, query_id, "left_anti")
+            outs.append(out_lv)
+            done = out_lv.select(query_id).distinct()
+            remaining = remaining.join(
+                done, query_id, "left_anti"
+            ).localCheckpoint()
         out = outs[0]
         for extra in outs[1:]:
             out = out.unionByName(extra)

@@ -111,7 +111,12 @@ def extract_media_meta_arrow(media: DataFrame) -> DataFrame:
         for b in batches:
             nb = b.column("n_bytes").to_numpy(zero_copy_only=False)
             kind = b.column("kind").to_pylist()
-            is_img = np.array([k == "image" for k in kind]) & ~pd.isna(nb)
+            # dtype=bool: an EMPTY batch's np.array([]) is float64 and
+            # float64 & bool raises — zero-row arrow batches do occur
+            is_img = (
+                np.array([k == "image" for k in kind], dtype=bool)
+                & ~pd.isna(nb).astype(bool)
+            )
             nbi = np.where(pd.isna(nb), 0, nb).astype(np.int64)
             # matches _decode_image exactly, incl. the empty-payload (0,0)
             w = np.where(nbi == 0, 0, nbi % 1920 + 1).astype(np.int32)

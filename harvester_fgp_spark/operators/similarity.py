@@ -260,14 +260,18 @@ def ann_lsh_topk(
     emb_col: str = "embedding",
     dim: int = _DIM_DEFAULT,
 ) -> DataFrame:
-    """Approximate top-k: bucket equi-join (N_TABLES tables) + exact rerank."""
+    """Approximate top-k: bucket equi-join (N_TABLES tables) + exact rerank.
+
+    Null embeddings are dropped up front (embed_media emits them for null
+    payloads): np.stack inside the bucket kernel would raise on None —
+    the native cosine paths tolerate nulls, so the LSH path must too."""
     bud = lsh_buckets_udf(dim)
-    cand = vectors.select(
+    cand = vectors.filter(F.col(emb_col).isNotNull()).select(
         F.col(id_col).alias("c_id"),
         F.col(emb_col).alias("c_emb"),
         F.explode(bud(F.col(emb_col))).alias("bucket"),
     )
-    qs = queries.select(
+    qs = queries.filter(F.col(emb_col).isNotNull()).select(
         F.col(id_col).alias("q_id"),
         F.col(emb_col).alias("q_emb"),
         F.explode(bud(F.col(emb_col))).alias("bucket"),

@@ -341,13 +341,19 @@ def remove_duplicate_lines(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), esc)).alias("pos", "line"),
     )
-    dup = (
-        lines.groupBy("line")
-        .agg(F.count("*").alias("_c"))
-        .filter(F.col("_c") >= min_occurrences)
-        .select("line")
+    # window count over the line key instead of groupBy + anti-join: the
+    # dup-set shape consumed the exploded lines subtree twice (Spark
+    # re-executes multi-consumer subtrees); this keeps ONE evaluation and
+    # the same single shuffle key
+    from pyspark.sql import Window
+
+    kept = (
+        lines.withColumn(
+            "_tot", F.count("*").over(Window.partitionBy("line"))
+        )
+        .filter(F.col("_tot") < min_occurrences)
+        .drop("_tot")
     )
-    kept = lines.join(dup, "line", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
             sep,

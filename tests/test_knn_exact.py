@@ -105,19 +105,29 @@ def test_knn_exact_rank_round_mode(spark):
 def test_knn_leaves_no_lingering_cache(spark):
     """Round-3 fix: the ring-expansion path derives underfilled queries
     from a per-prefix candidate histogram instead of persisting and
-    re-consuming the join output — nothing may stay cached."""
+    re-consuming the join output — no persist() may outlive the call.
+    The exact path localCheckpoints its per-level frames (so each
+    level's join executes ONCE — review fix); checkpoint blocks free on
+    JVM GC and the listener bus can pin the last query's refs, so the
+    exact-path assertion is BOUNDED growth (<= 2 small frames per
+    escalation level), not zero."""
     q, c, qdf, cdf = _frames(spark, n_q=60, n_c=10, seed=3)
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
     G.knn_join(
         qdf, cdf, k=4, query_id="qid", cand_id="cid",
         prefix_level=6, expand_underfilled=True,
     ).count()
+    # non-exact path: strict — nothing cached at all
+    assert jsc.getPersistentRDDs().size() == before
     G.knn_join(
         qdf, cdf, k=2, query_id="qid", cand_id="cid",
         prefix_level=4, exact=True,
     ).count()
-    after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after == before
+    # exact path: levels [4, 2, 0] -> at most 2 checkpoints per non-final
+    # level (out_lv + remaining); anything beyond that is a NEW leak
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 4
 
 
 def test_cell_boundary_dist_is_a_true_lower_bound(spark):

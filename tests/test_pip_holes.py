@@ -197,3 +197,63 @@ def test_rasterize_vertices_native_square(spark):
     }
     exp = {(x, y) for x in (10, 11, 12, 13) for y in (20, 21, 22)}
     assert got == exp
+
+
+def test_rasterize_sliver_covers_crossed_tiles():
+    """Review regression: a thin sliver crosses tiles that contain no
+    vertex and whose centers are outside — the vertex+center rule
+    dropped them; the per-edge supercover must keep every column the
+    strip passes through."""
+    from harvester_fgp_spark.geo.tiles import (
+        point_to_tile,
+        rasterize_ring_to_tiles,
+        unpack_tile,
+    )
+
+    z = 8
+    ring = (
+        np.array([0.0, 5.0, 5.0, 0.0, 0.0]),
+        np.array([0.0, 0.0, 0.1, 0.1, 0.0]),
+    )
+    got = rasterize_ring_to_tiles(*ring, z)
+    _, xs, _ = unpack_tile(got)
+    x_lo = int(point_to_tile(np.array([0.0]), np.array([0.05]), z)[0][0])
+    x_hi = int(point_to_tile(np.array([5.0]), np.array([0.05]), z)[0][0])
+    assert set(range(x_lo, x_hi + 1)) <= set(xs.tolist())
+
+
+def test_rasterize_covers_every_interior_point_tile():
+    """Exactness property (one direction): any point strictly inside the
+    polygon (even-odd) must land in a rasterized tile."""
+    from harvester_fgp_spark.geo.pip import points_in_ring
+    from harvester_fgp_spark.geo.tiles import (
+        pack_tile,
+        point_to_tile,
+        rasterize_rings_to_tiles,
+    )
+
+    rng = np.random.default_rng(23)
+    for pdf_row in generate_polygons(15, seed=21, holes=True).itertuples():
+        rings = [
+            (
+                np.array([p["x"] for p in ring]),
+                np.array([p["y"] for p in ring]),
+            )
+            for ring in pdf_row.rings
+        ]
+        cover = set(rasterize_rings_to_tiles(rings, 8).tolist())
+        w = min(r[0].min() for r in rings)
+        e = max(r[0].max() for r in rings)
+        s = min(r[1].min() for r in rings)
+        n = max(r[1].max() for r in rings)
+        px = rng.uniform(w, e, 400)
+        py = rng.uniform(s, n, 400)
+        inside = np.zeros(400, dtype=bool)
+        for rx, ry in rings:
+            inside ^= points_in_ring(px, py, rx, ry)
+        if not inside.any():
+            continue
+        tx, ty = point_to_tile(px[inside], py[inside], 8)
+        pt_tiles = pack_tile(np.full(int(inside.sum()), 8), tx, ty)
+        missing = set(pt_tiles.tolist()) - cover
+        assert not missing, (pdf_row.polygon_id, missing)
