@@ -324,10 +324,10 @@ def remove_duplicate_lines(
     document, and the surviving lines are stitched back in original
     order.
 
-    Scale shape: posexplode keeps (id, pos, line); the dup-line set
-    comes from one groupBy on the line and is removed with a left-anti
-    join — NOT broadcast, because boilerplate cardinality is corpus-
-    dependent and unbounded (AQE may still choose broadcast when it fits).
+    Scale shape: posexplode keeps (id, pos, line); the global occurrence
+    count rides a window over the line key — one shuffle, and the
+    exploded subtree evaluates exactly once (a groupBy + anti-join back
+    would re-execute it; Spark never CSEs multi-consumer subtrees).
     Reconstruction is one groupBy(id) with an ordered rebuild:
     array_sort(collect_list(struct(pos, line))) -> transform -> concat_ws
     — per-doc line lists, bounded by document size.
