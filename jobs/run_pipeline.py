@@ -62,6 +62,12 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "text-bearing rows (fastest cold start / micro-batches) — "
         "record-identical outputs either way",
     )
+    p.add_argument(
+        "--compact", type=int, default=None, metavar="ROWS_PER_FILE",
+        help="after writing, rewrite the output compacted: per-tile file "
+        "budget = ceil(rows / ROWS_PER_FILE), rows clustered by cell_id "
+        "within files (lineage audit unaffected)",
+    )
     p.add_argument("--cell-level", type=int, default=12)
     p.add_argument("--tile-z", type=int, default=8)
     p.add_argument("--snapshot-id", type=int, default=None)
@@ -123,6 +129,9 @@ def main(argv: list[str]) -> None:
     C.write_records_and_checkpoint(
         records, args.out, args.checkpoint, run_id=args.run_id
     )
+    if args.compact:
+        C.compact_records(spark, args.out, target_rows_per_file=args.compact)
+        print(f"compacted {args.out} (target {args.compact} rows/file)")
     if args.verify_lineage:
         bad_tiles = C.verify_lineage(spark, args.out, args.checkpoint)
         n_bad = bad_tiles.count()
