@@ -1880,13 +1880,41 @@ def oracle_sql() -> dict[str, str]:
             inside AS (
                 SELECT pid, gx, gy FROM crossings WHERE n_cross % 2 = 1
             ),
-            vtiles AS (
-                SELECT DISTINCT pid,
-                       GREATEST(0, LEAST(127, CAST(FLOOR(vx) AS BIGINT))) AS gx,
-                       GREATEST(0, LEAST(127, CAST(FLOOR(vy) AS BIGINT))) AS gy
-                FROM vv
+            -- per-edge SUPERCOVER (exact overlap, mirrors the Spark
+            -- expression order): crossed columns, then the row span from
+            -- linear interpolation at the column boundary x's
+            ecols AS (
+                SELECT pid, x1, y1, x2, y2,
+                       UNNEST(range(
+                           GREATEST(0, LEAST(127,
+                               CAST(FLOOR(LEAST(x1, x2)) AS BIGINT))),
+                           GREATEST(0, LEAST(127,
+                               CAST(FLOOR(GREATEST(x1, x2)) AS BIGINT))) + 1
+                       )) AS gx
+                FROM edges
             ),
-            tiles AS (SELECT * FROM inside UNION SELECT * FROM vtiles)
+            espan AS (
+                SELECT pid, gx,
+                       CASE WHEN x1 = x2 THEN y1 ELSE
+                           y1 + (GREATEST(LEAST(x1, x2), CAST(gx AS DOUBLE))
+                                 - x1) * (y2 - y1) / (x2 - x1) END AS ya,
+                       CASE WHEN x1 = x2 THEN y2 ELSE
+                           y1 + (LEAST(GREATEST(x1, x2),
+                                       CAST(gx AS DOUBLE) + 1.0)
+                                 - x1) * (y2 - y1) / (x2 - x1) END AS yb
+                FROM ecols
+            ),
+            sc AS (
+                SELECT pid, gx,
+                       UNNEST(range(
+                           GREATEST(0, LEAST(127,
+                               CAST(FLOOR(LEAST(ya, yb)) AS BIGINT))),
+                           GREATEST(0, LEAST(127,
+                               CAST(FLOOR(GREATEST(ya, yb)) AS BIGINT))) + 1
+                       )) AS gy
+                FROM espan
+            ),
+            tiles AS (SELECT * FROM inside UNION SELECT * FROM sc)
             SELECT pid, gx AS tile_x, gy AS tile_y FROM tiles
         """,
         "tile_group_stats": f"""

@@ -403,14 +403,15 @@ def rasterize_vertices_native(verts: DataFrame, z: int) -> DataFrame:
     kernel, it is SQL-expressible, so the driver gate value-checks it
     against a DuckDB longhand (polygon_raster_sql).
 
-    COVER RULE — approximate, stated precisely: a tile is kept iff its
-    center is inside (even-odd) or it contains a vertex. A tile crossed
-    by an edge that leaves no vertex in it and whose center is outside
-    (a thin sliver passing through) is MISSED; the numpy kernel
-    (geo.tiles.rasterize_rings_to_tiles) upgraded to an exact per-edge
-    supercover in round 3 and is the production G7 path — this
-    declarative twin stays on the simpler rule its oracle mirrors, and
-    is the candidate-generation demonstration, not the exact cover.
+    COVER RULE — EXACT (round-3 review fix, matching the numpy kernel's
+    semantics in ITS projected-plane geometry): a tile overlaps the
+    polygon iff an edge passes through it (per-edge SUPERCOVER — edges
+    are straight in tile units here, so the column range is
+    floor(min x)..floor(max x) and each column's row span comes from
+    linear interpolation at the column boundaries) or its center is
+    inside (even-odd). Vertex tiles are the degenerate supercover case,
+    so the old contains-a-vertex union is subsumed; the old rule missed
+    tiles a thin sliver crossed without leaving a vertex.
 
     Input `verts`: one row per polygon vertex — (pid, k, j, vx, vy) with
     k = vertex count, j = 0..k-1 in ring order, and (vx, vy) ALREADY in
@@ -467,11 +468,36 @@ def rasterize_vertices_native(verts: DataFrame, z: int) -> DataFrame:
         .filter(F.col("_crossings") % 2 == 1)
         .select("pid", "gx", "gy")
     )
-    vtiles = verts.select(
-        "pid", _clamp(F.col("vx")).alias("gx"), _clamp(F.col("vy")).alias("gy")
+    # per-edge supercover: explode crossed columns, interpolate the row
+    # span at the column's boundary x's (lazy CASE guards the vertical-
+    # edge division, like the crossing expression above)
+    lo_x = F.least(F.col("x1"), F.col("x2"))
+    hi_x = F.greatest(F.col("x1"), F.col("x2"))
+    cols = edges.withColumn(
+        "gx", F.explode(F.sequence(_clamp(lo_x), _clamp(hi_x)))
+    )
+    xa = F.greatest(lo_x, F.col("gx").cast("double"))
+    xb = F.least(hi_x, F.col("gx").cast("double") + F.lit(1.0))
+    vertical = F.col("x1") == F.col("x2")
+    ya = F.when(vertical, F.col("y1")).otherwise(
+        F.col("y1")
+        + (xa - F.col("x1")) * (F.col("y2") - F.col("y1"))
+        / (F.col("x2") - F.col("x1"))
+    )
+    yb = F.when(vertical, F.col("y2")).otherwise(
+        F.col("y1")
+        + (xb - F.col("x1")) * (F.col("y2") - F.col("y1"))
+        / (F.col("x2") - F.col("x1"))
+    )
+    sc = cols.select(
+        "pid",
+        "gx",
+        F.explode(
+            F.sequence(_clamp(F.least(ya, yb)), _clamp(F.greatest(ya, yb)))
+        ).alias("gy"),
     )
     return (
-        inside.unionByName(vtiles)
+        inside.unionByName(sc)
         .distinct()
         .select("pid", F.col("gx").alias("tile_x"), F.col("gy").alias("tile_y"))
     )
