@@ -257,3 +257,29 @@ def test_rasterize_covers_every_interior_point_tile():
         pt_tiles = pack_tile(np.full(int(inside.sum()), 8), tx, ty)
         missing = set(pt_tiles.tolist()) - cover
         assert not missing, (pdf_row.polygon_id, missing)
+
+
+def test_rasterize_native_sliver_covers_crossed_tiles(spark):
+    """Supercover regression for the DECLARATIVE path: a thin horizontal
+    sliver in tile units (y in [3.4, 3.6], x in [1.2, 6.8]) crosses
+    columns 2..5 without leaving a vertex in them and their centers
+    (y=3.5) ARE inside here — so also check a sliver just ABOVE centers
+    (y in [3.6, 3.8]) where the old vertex+center rule dropped the
+    middle columns entirely."""
+    from harvester_fgp_spark.operators.geo import rasterize_vertices_native
+
+    def _run(y0, y1):
+        quad = [(1.2, y0), (6.8, y0), (6.8, y1), (1.2, y1)]
+        rows = [
+            (0, 4, j, float(x), float(y)) for j, (x, y) in enumerate(quad)
+        ]
+        df = spark.createDataFrame(
+            rows, "pid long, k int, j int, vx double, vy double"
+        )
+        return {
+            (r["tile_x"], r["tile_y"])
+            for r in rasterize_vertices_native(df, 6).collect()
+        }
+
+    off_center = _run(3.6, 3.8)  # centers (y+0.5) never inside
+    assert {(x, 3) for x in range(1, 7)} <= off_center
