@@ -44,3 +44,32 @@ def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def read_all_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: read_testdata(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table BUCKETED (and sorted) by a join key — the
+    pre-shuffle that makes repeated large-x-large joins on that key
+    shuffle-FREE: both sides read already hash-partitioned into the same
+    bucket layout, so Catalyst plans a SortMergeJoin with no Exchange on
+    either side (plan-asserted in tests/test_bucketed_join.py). At
+    100 TB this converts the dominant per-query shuffle of a fact-fact
+    join (pages x fetch-log on url, events x events on user) into a
+    one-time write-side cost.
+
+    Uses the session catalog's managed-table path (Iceberg's bucket
+    partition transform is the same idea through the S1 seam). Bucket
+    counts must MATCH on both sides of the join — pick one per key
+    domain and keep it in the table contract.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
