@@ -126,9 +126,23 @@ def main(argv: list[str]) -> None:
     )
     if args.resume:
         records = C.resume_filter(records, spark, args.checkpoint)
+    # observe(): run metrics ride the write itself — zero extra passes
+    # over the data (a separate count()/agg() would re-execute the
+    # pipeline; SURVEY §2.2 "lineage + metrics")
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("run_metrics")
+    records = records.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_records"),
+        F.min("tile_id").alias("min_tile"),
+        F.max("tile_id").alias("max_tile"),
+    )
     C.write_records_and_checkpoint(
         records, args.out, args.checkpoint, run_id=args.run_id
     )
+    print("run metrics:", obs.get)
     if args.compact:
         C.compact_records(spark, args.out, target_rows_per_file=args.compact)
         print(f"compacted {args.out} (target {args.compact} rows/file)")
