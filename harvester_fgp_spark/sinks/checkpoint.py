@@ -267,3 +267,36 @@ def compact_records(
         .partitionBy("tile_id")
         .parquet(out_dir)
     )
+
+
+def vacuum_checkpoint(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    per_batch: bool = False,
+) -> None:
+    """Compact the append-only lineage table to the rows verify_lineage
+    actually trusts: the LATEST commit per tile (per (run_id, tile) for
+    the streaming grain — batch_id rides run_id). Every replay/rerun
+    APPENDS a full set of lineage rows while overwriting the data in
+    place, so a long-lived pipeline's checkpoint table grows with
+    replay count, not data; after enough incidents the audit reads more
+    lineage than data. Vacuuming keeps semantics identical by
+    construction — it applies the same latest-commit reduction the
+    audit performs at read time, once, durably.
+
+    All stages are kept (the reduction runs per stage). In-place
+    rewrite cuts lineage through localCheckpoint, like compact_records;
+    the table is commit-marker-critical, so the write happens only
+    after the reduced frame is fully materialized.
+    """
+    cp = spark.read.parquet(checkpoint_dir)
+    keys = (
+        ["stage", "run_id", "tile_id"] if per_batch else ["stage", "tile_id"]
+    )
+    latest = cp.groupBy(*keys).agg(
+        F.max("completed_at").alias("completed_at")
+    )
+    reduced = cp.join(
+        latest, [*keys, "completed_at"], "left_semi"
+    ).localCheckpoint()
+    reduced.write.mode("overwrite").parquet(checkpoint_dir)

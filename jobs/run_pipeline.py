@@ -68,6 +68,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "budget = ceil(rows / ROWS_PER_FILE), rows clustered by cell_id "
         "within files (lineage audit unaffected)",
     )
+    p.add_argument(
+        "--vacuum-checkpoint", action="store_true",
+        help="compact the lineage table to the latest commit per tile "
+        "(replays/reruns append; audit semantics unchanged)",
+    )
     p.add_argument("--cell-level", type=int, default=12)
     p.add_argument("--tile-z", type=int, default=8)
     p.add_argument("--snapshot-id", type=int, default=None)
@@ -146,6 +151,9 @@ def main(argv: list[str]) -> None:
     if args.compact:
         C.compact_records(spark, args.out, target_rows_per_file=args.compact)
         print(f"compacted {args.out} (target {args.compact} rows/file)")
+    if args.vacuum_checkpoint:
+        C.vacuum_checkpoint(spark, args.checkpoint)
+        print("checkpoint vacuumed:", args.checkpoint)
     if args.verify_lineage:
         bad_tiles = C.verify_lineage(spark, args.out, args.checkpoint)
         n_bad = bad_tiles.count()

@@ -152,3 +152,34 @@ def test_compact_records_preserves_data_and_shrinks_files(spark, tmp_path):
     assert any(n > target for n in per_tile.values())
     # lineage audit still green: same rows/fingerprints per tile
     assert C.verify_lineage(spark, out, cp).count() == 0
+
+
+def test_vacuum_checkpoint_preserves_audit_semantics(spark, tmp_path):
+    """After idempotent replays bloat the lineage table, vacuuming keeps
+    the audit green, shrinks the table to one commit per tile, and the
+    resume filter still sees every completed tile."""
+    out = str(tmp_path / "records")
+    cp = str(tmp_path / "checkpoint")
+    records = _records(spark)
+    C.write_records_and_checkpoint(records, out, cp, run_id="run1")
+    C.write_records_and_checkpoint(records, out, cp, run_id="run1")  # replay
+    C.write_records_and_checkpoint(records, out, cp, run_id="run2")  # rerun
+
+    n_tiles = records.select("tile_id").distinct().count()
+    assert spark.read.parquet(cp).count() > n_tiles  # bloated
+    assert C.verify_lineage(spark, out, cp).count() == 0
+
+    C.vacuum_checkpoint(spark, cp)
+
+    after = spark.read.parquet(cp)
+    # one commit per tile survives; per-commit partition rows may remain
+    assert (
+        after.groupBy("tile_id")
+        .agg(F.count_distinct("completed_at").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+        == 0
+    )
+    assert C.verify_lineage(spark, out, cp).count() == 0
+    done = {r.tile_id for r in C.completed_tiles(spark, cp).collect()}
+    assert len(done) == n_tiles
