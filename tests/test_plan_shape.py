@@ -145,3 +145,29 @@ def test_dbscan_neighbor_join_is_equi_not_nlj(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_record_sink_partition_pruning(spark, tmp_path):
+    """The S4 sink partitions by tile_id precisely so tile-scoped reads
+    prune directories at planning time: a tile_id filter must appear as
+    a PartitionFilter on the scan (zero data files from other tiles are
+    opened), not as a post-scan Filter over everything."""
+    import pyspark.sql.functions as F2
+
+    from harvester_fgp_spark.plans.pipeline import mine_records
+    from harvester_fgp_spark.sinks import checkpoint as C
+    from harvester_fgp_spark.synth import generate_polygons, pages_df
+
+    out = str(tmp_path / "records")
+    records = C.with_tile_id(
+        mine_records(spark, pages_df(spark, 400, seed=42), generate_polygons(40, seed=42))
+    )
+    C.write_records_and_checkpoint(records, out, str(tmp_path / "cp"), run_id="r")
+    one_tile = records.select("tile_id").first()["tile_id"]
+    q = spark.read.parquet(out).filter(F2.col("tile_id") == one_tile)
+    q.count()
+    plan = _plan(q)
+    assert f"PartitionFilters: [isnotnull(tile_id" in plan
+    # the tile predicate must NOT survive as a row-level PushedFilter —
+    # it is satisfied by directory pruning alone
+    assert "PushedFilters: []" in plan
