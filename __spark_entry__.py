@@ -1896,11 +1896,14 @@ def oracle_sql() -> dict[str, str]:
             espan AS (
                 SELECT pid, gx,
                        CASE WHEN x1 = x2 THEN y1 ELSE
-                           y1 + (GREATEST(LEAST(x1, x2), CAST(gx AS DOUBLE))
+                           y1 + (LEAST(GREATEST(LEAST(x1, x2),
+                                                CAST(gx AS DOUBLE)),
+                                       GREATEST(x1, x2))
                                  - x1) * (y2 - y1) / (x2 - x1) END AS ya,
                        CASE WHEN x1 = x2 THEN y2 ELSE
-                           y1 + (LEAST(GREATEST(x1, x2),
-                                       CAST(gx AS DOUBLE) + 1.0)
+                           y1 + (GREATEST(LEAST(GREATEST(x1, x2),
+                                                CAST(gx AS DOUBLE) + 1.0),
+                                          LEAST(x1, x2))
                                  - x1) * (y2 - y1) / (x2 - x1) END AS yb
                 FROM ecols
             ),

@@ -476,8 +476,11 @@ def rasterize_vertices_native(verts: DataFrame, z: int) -> DataFrame:
     cols = edges.withColumn(
         "gx", F.explode(F.sequence(_clamp(lo_x), _clamp(hi_x)))
     )
-    xa = F.greatest(lo_x, F.col("gx").cast("double"))
-    xb = F.least(hi_x, F.col("gx").cast("double") + F.lit(1.0))
+    # clamp the interpolation x's to the SEGMENT as well as the column:
+    # for an edge pushed fully out of the clamped plane, greatest(lo, gx)
+    # alone lands off-segment and extrapolates a spurious row span
+    xa = F.least(F.greatest(lo_x, F.col("gx").cast("double")), hi_x)
+    xb = F.greatest(F.least(hi_x, F.col("gx").cast("double") + F.lit(1.0)), lo_x)
     vertical = F.col("x1") == F.col("x2")
     ya = F.when(vertical, F.col("y1")).otherwise(
         F.col("y1")

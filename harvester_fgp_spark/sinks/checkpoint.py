@@ -272,31 +272,46 @@ def compact_records(
 def vacuum_checkpoint(
     spark: SparkSession,
     checkpoint_dir: str,
-    per_batch: bool = False,
+    aggressive: bool = False,
 ) -> None:
     """Compact the append-only lineage table to the rows verify_lineage
-    actually trusts: the LATEST commit per tile (per (run_id, tile) for
-    the streaming grain — batch_id rides run_id). Every replay/rerun
-    APPENDS a full set of lineage rows while overwriting the data in
-    place, so a long-lived pipeline's checkpoint table grows with
-    replay count, not data; after enough incidents the audit reads more
-    lineage than data. Vacuuming keeps semantics identical by
-    construction — it applies the same latest-commit reduction the
-    audit performs at read time, once, durably.
+    actually trusts. Every replay/rerun APPENDS a full set of lineage
+    rows while overwriting the data in place, so a long-lived pipeline's
+    checkpoint table grows with replay count, not data.
 
-    All stages are kept (the reduction runs per stage). In-place
-    rewrite cuts lineage through localCheckpoint, like compact_records;
-    the table is commit-marker-critical, so the write happens only
-    after the reduced frame is fully materialized.
+    Grain (review-hardened): the DEFAULT reduction keeps the latest
+    commit per (stage, run_id, tile) — replays of one run/batch
+    collapse, but commits are NEVER merged across run_ids. That is safe
+    for BOTH sinks unconditionally: streaming lineage encodes batch_id
+    in run_id and tiles legitimately accumulate rows across batches, so
+    a per-(stage, tile) reduction would permanently delete earlier
+    batches' commits and turn the per_batch audit red on correct data.
+    ``aggressive=True`` opts into per-(stage, tile) — correct ONLY for a
+    checkpoint dir that has never taken streaming commits (dynamic
+    overwrite means the last batch writer owns the whole tile).
+
+    Durability (review-hardened): the reduced table is FIRST written to
+    a sibling temp directory straight off the source read (the source
+    stays untouched — no lineage-cutting checkpoint of the only copy),
+    then swapped in with directory renames. A crash mid-swap leaves the
+    commit truth intact in one of the two directories instead of a
+    half-deleted overwrite of the only copy.
     """
+    import shutil
+
     cp = spark.read.parquet(checkpoint_dir)
     keys = (
-        ["stage", "run_id", "tile_id"] if per_batch else ["stage", "tile_id"]
+        ["stage", "tile_id"] if aggressive else ["stage", "run_id", "tile_id"]
     )
     latest = cp.groupBy(*keys).agg(
         F.max("completed_at").alias("completed_at")
     )
-    reduced = cp.join(
-        latest, [*keys, "completed_at"], "left_semi"
-    ).localCheckpoint()
-    reduced.write.mode("overwrite").parquet(checkpoint_dir)
+    reduced = cp.join(latest, [*keys, "completed_at"], "left_semi")
+    tmp = checkpoint_dir.rstrip("/") + ".vacuum-tmp"
+    old = checkpoint_dir.rstrip("/") + ".vacuum-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    reduced.write.mode("overwrite").parquet(tmp)
+    shutil.move(checkpoint_dir, old)
+    shutil.move(tmp, checkpoint_dir)
+    shutil.rmtree(old, ignore_errors=True)

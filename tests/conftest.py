@@ -17,3 +17,9 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return "/root/testdata/sf0.001"
+
+
+def plan_string(df) -> str:
+    """Executed-plan toString — shared by every plan-shape assertion
+    (was duplicated in three test modules)."""
+    return df._jdf.queryExecution().executedPlan().toString()

@@ -10,8 +10,7 @@ from pyspark.sql import functions as F
 from harvester_fgp_spark.sources.tables import write_bucketed
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from tests.conftest import plan_string as _plan
 
 
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):

@@ -172,7 +172,21 @@ def test_vacuum_checkpoint_preserves_audit_semantics(spark, tmp_path):
     C.vacuum_checkpoint(spark, cp)
 
     after = spark.read.parquet(cp)
-    # one commit per tile survives; per-commit partition rows may remain
+    # safe grain: ONE commit per (run, tile) — run1's replay collapsed,
+    # run2's rerun preserved as its own commit (never merged across runs)
+    assert (
+        after.groupBy("run_id", "tile_id")
+        .agg(F.count_distinct("completed_at").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+        == 0
+    )
+    assert {r.run_id for r in after.select("run_id").distinct().collect()} == {
+        "run1", "run2"
+    }
+    # aggressive grain (batch-only table): one commit per tile
+    C.vacuum_checkpoint(spark, cp, aggressive=True)
+    after = spark.read.parquet(cp)
     assert (
         after.groupBy("tile_id")
         .agg(F.count_distinct("completed_at").alias("n"))

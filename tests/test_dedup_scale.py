@@ -16,8 +16,7 @@ from harvester_fgp_spark.operators.dedup import band_table, minhash_near_dup_pai
 from harvester_fgp_spark.operators.similarity import exact_near_dup_pairs
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from tests.conftest import plan_string as _plan
 
 
 def test_band_table_carries_no_text(spark):

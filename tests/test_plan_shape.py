@@ -12,8 +12,7 @@ from pyspark.sql import functions as F
 import __spark_entry__ as E
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from tests.conftest import plan_string as _plan
 
 
 def _optimized(df) -> str:
