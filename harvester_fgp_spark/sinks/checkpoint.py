@@ -236,6 +236,9 @@ def compact_records(
     rows sorted by ``sort_col`` within each file, so parquet row-group
     min/max stats become selective for cell-prefix predicates (the
     dominant read pattern) — compaction and clustering in one rewrite.
+    The default sort key (cell_id) is the Morton code, so this IS
+    Z-order clustering: one-dimensional sort order that keeps both lat
+    and lon locality inside every row group.
 
     The per-tile file budget is enforced STRUCTURALLY, not by hashing:
     repartition on tile_id puts a tile's rows in exactly one task, and
