@@ -343,7 +343,7 @@ def quality_score(text: str | None) -> float:
     return round((len_score + wl_score + punct_score + sw_score) / 4.0, 6)
 
 
-def detect_lang_batch(texts) -> "pd.Series":
+def detect_lang_batch(texts):
     """Vectorized twin of ``detect_lang`` over a pandas Series.
 
     Same semantics, property-tested equal per row (test_textops_native);
@@ -382,7 +382,7 @@ def detect_lang_batch(texts) -> "pd.Series":
     return pd.Series(out, dtype=object)
 
 
-def quality_score_batch(texts) -> "pd.Series":
+def quality_score_batch(texts):
     """Vectorized twin of ``quality_score``: identical IEEE op order per
     row (left-associative component sum, single divisions), so outputs are
     bit-identical to the scalar kernel — only the regex scans and stopword

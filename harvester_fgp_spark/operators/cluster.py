@@ -62,13 +62,21 @@ def eps_neighbor_pairs(
         F.col(x_col).cast("long").alias("_x"),
         F.col(y_col).cast("long").alias("_y"),
     )
-    cell = lambda c: F.floor(c / F.lit(float(eps))).cast("long")  # noqa: E731
+
+    # floor(c / eps) in PURE int64 (round-3 advice: float division can bin
+    # |c| near 2^53 one cell off, breaking 3x3-neighborhood completeness
+    # for generic integer inputs): subtract the positive mod, then SQL
+    # `div` — the operand is an exact multiple of eps, so truncating
+    # division equals the floor quotient for any int64 coordinate.
+    def cell(col: str) -> F.Column:
+        return F.expr(f"({col} - pmod({col}, {eps})) div {eps}")
+
     build = p.select(
         F.col("_id").alias("ib"),
         F.col("_x").alias("bx"),
         F.col("_y").alias("by"),
-        cell(F.col("_x")).alias("cx"),
-        cell(F.col("_y")).alias("cy"),
+        cell("_x").alias("cx"),
+        cell("_y").alias("cy"),
     )
     probe = (
         p.withColumn(
@@ -88,8 +96,8 @@ def eps_neighbor_pairs(
             F.col("_id").alias("ia"),
             F.col("_x").alias("ax"),
             F.col("_y").alias("ay"),
-            (cell(F.col("_x")) + F.col("_off.dx")).alias("cx"),
-            (cell(F.col("_y")) + F.col("_off.dy")).alias("cy"),
+            (cell("_x") + F.col("_off.dx")).alias("cx"),
+            (cell("_y") + F.col("_off.dy")).alias("cy"),
         )
     )
     d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (

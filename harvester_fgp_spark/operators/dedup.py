@@ -319,33 +319,38 @@ def duplicate_span_counts(
     The suffix-array formulation of train-data span dedup doesn't
     distribute; the equivalent corpus-scale shape is a rolling window
     hash: every document emits one xxhash64 per token window (native
-    transform/sequence/slice — no Python), the global occurrence count
-    rides a window function over the hash key, and one per-document
-    groupBy finishes. Cost is O(total tokens) rows through two shuffles
-    on an 8-byte key, with the tokenize/hash scan evaluated exactly ONCE
-    — no text leaves the scan stage.
+    transform/sequence/slice — no Python), localCheckpointed ONCE (it
+    feeds both the occurrence count and the join back; Spark never CSEs
+    multi-consumer subtrees — no text leaves the scan stage either way).
+
+    Round-4 skew fix: the occurrence count is a plain groupBy(wh) —
+    hash aggregation DOES map-side partial combine, so a boilerplate
+    span occurring 10^8 times sends one partial row per map task, where
+    the round-3 window-over-wh funneled ALL its rows through one task
+    (windows have no partial). The duplicated-hash set (>= min
+    occurrences only) joins back on the compact 8-byte key: small dup
+    sets broadcast at runtime (AQE, from the checkpointed stats), large
+    ones plan shuffled where AQE's skew-join split divides a hot wh
+    across tasks. One per-document groupBy finishes.
 
     Output: (id, n_windows, n_dup_windows) per document that has >= 1
     window; callers drop or trim documents above a duplication ratio.
     """
-    occ = _window_hash_rows(docs, n_tokens, text_col, [F.col(id_col)])
-    # Single-evaluation chain (round-3 review fix: the dup-set groupBy +
-    # semi-join + totals groupBy consumed occ THREE times, re-running the
-    # full-corpus tokenize/hash/explode scan each time — Spark never CSEs
-    # multi-consumer subtrees): the global occurrence count rides a
-    # window over the SAME shuffle key instead, then one per-doc groupBy
-    # finishes. Two shuffles total, occ evaluated exactly once.
-    from pyspark.sql import Window
-
-    tot = F.count("*").over(Window.partitionBy("wh"))
+    occ = _window_hash_rows(
+        docs, n_tokens, text_col, [F.col(id_col)]
+    ).localCheckpoint()
+    dup = (
+        occ.groupBy("wh")
+        .agg(F.count("*").alias("_tot"))
+        .filter(F.col("_tot") >= min_occurrences)
+        .select("wh", F.lit(1).alias("_dup"))
+    )
     return (
-        occ.withColumn("_tot", tot)
+        occ.join(dup, "wh", "left")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_windows"),
-            F.count_if(F.col("_tot") >= min_occurrences).alias(
-                "n_dup_windows"
-            ),
+            F.count("_dup").alias("n_dup_windows"),
         )
         .select(id_col, "n_windows", "n_dup_windows")
     )
@@ -357,6 +362,7 @@ def connected_components(
     id_col: str = "doc_id",
     max_iter: int = 25,
     jumps: int = 64,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup CLUSTERING: connected components over a pair graph —
     the step after any pairwise dedup op ("keep one doc per cluster").
@@ -412,9 +418,15 @@ def connected_components(
     ).localCheckpoint()
     contracted = sym.localCheckpoint()
     n_edges = contracted.count()
+    if stats is not None:
+        stats["rounds"] = []  # (edges entering the round, seconds)
     for _ in range(max_iter):
         if n_edges == 0:
             break
+        import time as _time
+
+        _t0 = _time.monotonic()
+        _edges_in = n_edges
         # each rep adopts min(self, neighbor reps); sym is bidirectional,
         # so every endpoint appears as a group key
         adopt = (
@@ -429,26 +441,46 @@ def connected_components(
         # bijection that merges NOTHING. Full closure maps the whole
         # chain to its minimum in log2(depth) jumps (depth halves per
         # jump; random-id graphs have O(log n) chains, so 2-4 jumps
-        # typical). Each jump is a rep-sized self-join on an 8-byte key,
-        # localCheckpointed because it references the previous map twice
-        # (the exponential-lineage shape).
+        # typical). Each jump is a rep-sized self-join on an 8-byte key.
+        #
+        # Jumps run in GROUPS of ``_JUMP_BATCH`` lazy compositions
+        # between checkpoints (round 4): each composition references the
+        # previous map twice, so the plan doubles per jump — bounded by
+        # 2^batch nodes, nowhere near the exponential-lineage OOM regime
+        # — and the group pays ONE localCheckpoint + ONE moved-check
+        # instead of one per jump. Deep-path graphs run O(log n) rounds
+        # of scheduler-fixed-cost Spark jobs, and measured wall clock is
+        # job-count-bound, not data-bound (bench/bench_contraction.py):
+        # batching cut per-round jobs ~3x with identical results.
         adopt = adopt.localCheckpoint()
-        for _ in range(jumps):
-            jmp = adopt.select(
+        _JUMP_BATCH = 3
+
+        def _compose(frame, with_flag: bool):
+            jmp = frame.select(
                 F.col("x").alias("_jx"), F.col("lx").alias("_jl")
             )
-            moved_frame = (
-                adopt.join(jmp, adopt["lx"] == jmp["_jx"], "left")
-                .select(
-                    "x",
-                    F.coalesce("_jl", "lx").alias("lx"),
+            # column names are disjoint across sides (x/lx vs _jx/_jl),
+            # so bare F.col() resolution is unambiguous in the self-join
+            cols = [
+                F.col("x"),
+                F.coalesce("_jl", "lx").alias("lx"),
+            ]
+            if with_flag:
+                cols.append(
                     (
                         F.col("_jl").isNotNull()
                         & (F.col("_jl") != F.col("lx"))
-                    ).alias("_moved"),
+                    ).alias("_moved")
                 )
-                .localCheckpoint()
-            )
+            return frame.join(
+                jmp, F.col("lx") == F.col("_jx"), "left"
+            ).select(*cols)
+
+        for _ in range(0, jumps, _JUMP_BATCH):
+            frame = adopt
+            for _ in range(_JUMP_BATCH - 1):
+                frame = _compose(frame, with_flag=False)
+            moved_frame = _compose(frame, with_flag=True).localCheckpoint()
             adopt = moved_frame.select("x", "lx")
             if moved_frame.filter(F.col("_moved")).isEmpty():
                 break
@@ -476,6 +508,10 @@ def connected_components(
             .localCheckpoint()
         )
         n_edges = contracted.count()
+        if stats is not None:
+            stats["rounds"].append(
+                (_edges_in, round(_time.monotonic() - _t0, 3))
+            )
     if n_edges != 0:
         raise RuntimeError(
             f"connected_components: {n_edges} cross-cluster edges left "

@@ -210,12 +210,25 @@ def build_polygon_index(polygons_pdf: pd.DataFrame) -> _pip.PolygonIndex:
 
     With a ``rings`` column (list of rings per polygon — holes and
     multipolygon parts, round 3) every ring feeds the even-odd PIP;
-    otherwise the single ``ring`` column is the 1-ring case."""
+    otherwise the single ``ring`` column is the 1-ring case.
+
+    Dateline rings (round 4): any ring crossing the antimeridian is
+    split into in-range parts first (geo.cells.split_ring_at_dateline) —
+    planar ray casting would otherwise treat the lon jump as a
+    hemisphere-wide edge and misclassify everything. A split polygon's
+    candidate bbox spans both sides (near-global): candidate inflation
+    only — the exact per-part test decides membership."""
 
     if "rings" in polygons_pdf.columns:
-        rings = [[_ring_xy(r) for r in poly] for poly in polygons_pdf["rings"]]
+        rings = [
+            _cells.split_rings_dateline([_ring_xy(r) for r in poly])
+            for poly in polygons_pdf["rings"]
+        ]
     else:
-        rings = [_ring_xy(ring) for ring in polygons_pdf["ring"]]
+        rings = [
+            _cells.split_ring_at_dateline(*_ring_xy(ring))
+            for ring in polygons_pdf["ring"]
+        ]
     return _pip.PolygonIndex(polygons_pdf["polygon_id"].tolist(), rings)
 
 
@@ -270,13 +283,19 @@ def _polygon_cell_map_rows(polygons_pdf: pd.DataFrame) -> list[tuple]:
     polygons, each carrying its polygon_id and a FLAT edge array across
     all rings (even-odd parity over concatenated ring edges == XOR of
     per-ring parities, so holes/multipolygon parts need no special
-    casing). One row per cover cell: (cell, [{polygon_id, edges}])."""
+    casing). One row per cover cell: (cell, [{polygon_id, edges}]).
+
+    Dateline rings split into in-range parts first (round 4), and the
+    cover is the UNION of per-ring bboxes — a Fiji polygon contributes
+    cells around +179 and -179, never the world-spanning band its
+    global bbox would cover (union-of-ring covers is also correct for
+    holes: a hole lies inside its outer ring's bbox)."""
     from collections import defaultdict
 
     multi = "rings" in polygons_pdf.columns
     cell_map: dict[int, list] = defaultdict(list)
     for row in polygons_pdf.itertuples():
-        rings = (
+        rings = _cells.split_rings_dateline(
             [_ring_xy(r) for r in row.rings] if multi else [_ring_xy(row.ring)]
         )
         edges = [
@@ -284,13 +303,15 @@ def _polygon_cell_map_rows(polygons_pdf: pd.DataFrame) -> list[tuple]:
             for rx, ry in rings
             for i in range(len(rx) - 1)
         ]
-        minx = min(float(rx.min()) for rx, _ in rings)
-        maxx = max(float(rx.max()) for rx, _ in rings)
-        miny = min(float(ry.min()) for _, ry in rings)
-        maxy = max(float(ry.max()) for _, ry in rings)
         poly = (row.polygon_id, edges)
-        for cell in _cells.cover_bbox(minx, miny, maxx, maxy):
-            cell_map[int(cell)].append(poly)
+        cells: set[int] = set()
+        for rx, ry in rings:
+            for cell in _cells.cover_bbox(
+                float(rx.min()), float(ry.min()), float(rx.max()), float(ry.max())
+            ):
+                cells.add(int(cell))
+        for cell in cells:
+            cell_map[cell].append(poly)
     return [(cell, polys) for cell, polys in cell_map.items()]
 
 
@@ -376,7 +397,11 @@ def polygon_tiles(polygons: DataFrame, z: int = _tiles.DEFAULT_TILE_Z) -> DataFr
             pids: list[str] = []
             tids: list[int] = []
             for pid, poly in zip(pdf["polygon_id"], pdf[in_cols[1]]):
-                rings = [_ring_xy(r) for r in poly] if multi else [_ring_xy(poly)]
+                # dateline rings split into in-range parts (round 4):
+                # even-odd across disjoint parts rasterizes their union
+                rings = _cells.split_rings_dateline(
+                    [_ring_xy(r) for r in poly] if multi else [_ring_xy(poly)]
+                )
                 t = _tiles.rasterize_rings_to_tiles(rings, z)
                 pids.extend([pid] * len(t))
                 tids.extend(t.tolist())

@@ -9,7 +9,7 @@ tokens, char counts stay JVM-side).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import (
@@ -202,40 +202,85 @@ def term_frequencies(
     )
 
 
+def salted_partial_topk(
+    tf: DataFrame, k: int, n_salts: int = 32
+) -> DataFrame:
+    """Phase 1 of the two-phase top-k (exposed for plan assertions):
+    rank (term, doc, tf) rows inside (term, salt) window partitions —
+    salt = pmod(xxhash64(doc), n_salts) — and keep <= k survivors per
+    salt, each carrying its salt's partial posting count in ``_pdf``.
+    A hot term's rows spread over ``n_salts`` tasks; the survivor frame
+    is <= n_salts * k rows per term regardless of corpus size."""
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("term", "_salt").orderBy(
+        F.col("tf").desc(), F.col("doc").asc()
+    )
+    return (
+        tf.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("doc")), F.lit(n_salts))
+        )
+        .select(
+            "term",
+            "doc",
+            "tf",
+            F.row_number().over(w1).alias("_rk"),
+            F.count("*")
+            .over(Window.partitionBy("term", "_salt"))
+            .alias("_pdf"),
+        )
+        .filter(F.col("_rk") <= k)
+    )
+
+
 def inverted_postings(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     min_df: int = 2,
+    n_salts: int = 32,
 ) -> DataFrame:
     """Inverted index build: (term, df, postings) where postings is the
     top-``k`` documents by term frequency (ties -> lower doc id), serialized
     "doc:tf,doc:tf,..." — a string because the driver canonicalizer can't
     hash LIST columns.
 
-    Scale shape: tokenization is native regexp_extract_all + explode
-    (codegen); the (term, doc) pre-aggregation is the map-side-combinable
-    first shuffle, so the second (per-term) pass sees one row per POSTING,
-    not per token occurrence. Top-k uses a row_number window per term —
-    the honest cost of postings construction; a stopword-scale hot term
-    is one hot partition, and because rows are already (term, doc) pairs
-    the fix at 100 TB is the standard two-phase top-k (partial top-k per
-    shuffle partition via the same window over (term, pmod(doc, S)),
-    then a final window over S*k survivors per term)."""
+    Scale shape (round-4: the hot-term window is GONE): tokenization is
+    native regexp_extract_all + explode (codegen); the (term, doc)
+    pre-aggregation is the map-side-combinable first shuffle, so the
+    per-term pass sees one row per POSTING, not per token occurrence.
+    Top-k is TWO-PHASE: phase 1 ranks inside (term, salt) partitions —
+    salt = pmod(xxhash64(doc), n_salts), so a stopword-scale term spreads
+    over ``n_salts`` tasks instead of funneling its whole postings list
+    through one window partition (windows have no map-side partial) —
+    and keeps <= k survivors per salt plus that salt's partial df count.
+    The survivors (<= n_salts*k rows per term, corpus-size-independent)
+    are localCheckpointed ONCE (they feed both the exact df sum and the
+    final ranking; Spark never CSEs multi-consumer subtrees), then the
+    final window ranks the tiny survivor set and the summed partial
+    counts give the exact df. Results are identical to the one-window
+    form: every global top-k posting is top-k within its own salt, and
+    df is a sum of disjoint partial counts."""
     from pyspark.sql import Window
 
     tf = term_frequencies(docs, text_col=text_col, id_col=id_col)
-    w = Window.partitionBy("term").orderBy(
+    partial = salted_partial_topk(tf, k=k, n_salts=n_salts).localCheckpoint()
+    df_counts = (
+        partial.filter(F.col("_rk") == 1)
+        .groupBy("term")
+        .agg(F.sum("_pdf").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    w2 = Window.partitionBy("term").orderBy(
         F.col("tf").desc(), F.col("doc").asc()
     )
-    r = tf.select(
-        "term",
-        "doc",
-        "tf",
-        F.row_number().over(w).alias("rk"),
-        F.count("*").over(Window.partitionBy("term")).alias("df"),
-    ).filter((F.col("rk") <= k) & (F.col("df") >= min_df))
+    r = (
+        partial.select("term", "doc", "tf")
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .join(df_counts, "term")
+    )
     posting = F.concat_ws(
         ":", F.col("doc").cast("string"), F.col("tf").cast("string")
     )
@@ -324,13 +369,21 @@ def remove_duplicate_lines(
     document, and the surviving lines are stitched back in original
     order.
 
-    Scale shape: posexplode keeps (id, pos, line); the global occurrence
-    count rides a window over the line key — one shuffle, and the
-    exploded subtree evaluates exactly once (a groupBy + anti-join back
-    would re-execute it; Spark never CSEs multi-consumer subtrees).
-    Reconstruction is one groupBy(id) with an ordered rebuild:
-    array_sort(collect_list(struct(pos, line))) -> transform -> concat_ws
-    — per-doc line lists, bounded by document size.
+    Scale shape (round-4: the hot-line window is GONE): posexplode keeps
+    (id, pos, line), localCheckpointed ONCE — it feeds both the dup-line
+    count and the anti-join back, and Spark never CSEs multi-consumer
+    subtrees. The occurrence count is a plain groupBy(line): hash
+    aggregation DOES map-side partial combine, so a cookie-banner line
+    in 10^8 documents sends one partial row per map task to its reducer
+    — not 10^8 rows to one window partition (windows have no partial;
+    the round-3 shape was exactly that hot-key funnel). The filtered dup
+    set (corpus-wide boilerplate only) then anti-joins the lines back
+    out: small dup sets broadcast (AQE converts at runtime from the
+    checkpointed stats), large ones plan shuffled where AQE's skew-join
+    split divides a hot line key across tasks — a rebalancing no window
+    shape can get. Reconstruction is one groupBy(id) with an ordered
+    rebuild: array_sort(collect_list(struct(pos, line))) -> transform ->
+    concat_ws — per-doc line lists, bounded by document size.
     """
     # escape ONLY regex metachars (escaping a letter would change its
     # meaning in Java regex, e.g. \\n); Spark split takes a regex
@@ -340,20 +393,14 @@ def remove_duplicate_lines(
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), esc)).alias("pos", "line"),
+    ).localCheckpoint()
+    dup = (
+        lines.groupBy("line")
+        .agg(F.count("*").alias("_tot"))
+        .filter(F.col("_tot") >= min_occurrences)
+        .select("line")
     )
-    # window count over the line key instead of groupBy + anti-join: the
-    # dup-set shape consumed the exploded lines subtree twice (Spark
-    # re-executes multi-consumer subtrees); this keeps ONE evaluation and
-    # the same single shuffle key
-    from pyspark.sql import Window
-
-    kept = (
-        lines.withColumn(
-            "_tot", F.count("*").over(Window.partitionBy("line"))
-        )
-        .filter(F.col("_tot") < min_occurrences)
-        .drop("_tot")
-    )
+    kept = lines.join(dup, "line", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
             sep,

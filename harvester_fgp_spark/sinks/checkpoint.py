@@ -37,7 +37,31 @@ CHECKPOINT_COLS = (
     "row_count",
     "input_fingerprint",
     "completed_at",
+    "commit_token",
 )
+
+
+def _overwrite_mode_dynamic(spark: SparkSession):
+    """Context manager: set partitionOverwriteMode=dynamic for one write
+    and RESTORE the caller's value after (round-3 advice: leaving it set
+    silently changes any later static partition overwrite on the shared
+    session)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prior = spark.conf.get(key, None)
+        spark.conf.set(key, "dynamic")
+        try:
+            yield
+        finally:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
+
+    return _cm()
 
 
 def with_tile_id(records: DataFrame) -> DataFrame:
@@ -53,7 +77,16 @@ def lineage_rows(records: DataFrame, run_id: str, stage: str) -> DataFrame:
     spark_partition_id is evaluated before the groupBy shuffle, so the
     row records which input partition produced the tile's rows; the
     fingerprint is bit-xor of record-id hashes (order-insensitive).
+
+    ``commit_token`` is a fresh driver-side UUID per write call — all
+    rows of one commit share it, and no two commits can share it. The
+    audit/vacuum latest-commit reduction breaks completed_at ties on it
+    (round-3 advice: two commits to the same tile landing in the same
+    current_timestamp tick otherwise BOTH survive the reduction — doubled
+    cp_rows, xor'd fingerprints, a false audit red on correct data).
     """
+    import uuid
+
     return (
         records.withColumn("partition_id", F.spark_partition_id())
         .groupBy("partition_id", "tile_id")
@@ -66,8 +99,30 @@ def lineage_rows(records: DataFrame, run_id: str, stage: str) -> DataFrame:
         .withColumn("run_id", F.lit(run_id))
         .withColumn("stage", F.lit(stage))
         .withColumn("completed_at", F.current_timestamp())
+        .withColumn("commit_token", F.lit(uuid.uuid4().hex))
         .select(*CHECKPOINT_COLS)
     )
+
+
+def _with_commit_token(cp: DataFrame) -> DataFrame:
+    """Checkpoint tables written before the commit_token column existed
+    read without it; treat those rows as the empty token (sorts before
+    any real token, so a tokened rewrite of the same tick wins)."""
+    if "commit_token" not in cp.columns:
+        cp = cp.withColumn("commit_token", F.lit(""))
+    return cp
+
+
+def _latest_commits(cp: DataFrame, keys: list[str]) -> DataFrame:
+    """Reduce lineage rows to the LATEST commit per key group: max by
+    (completed_at, commit_token) — the struct max is lexicographic, so
+    equal-tick commits resolve deterministically to ONE whole commit
+    instead of keeping both (see lineage_rows on commit_token)."""
+    tagged = cp.withColumn(
+        "_cmt", F.struct(F.col("completed_at"), F.col("commit_token"))
+    )
+    latest = tagged.groupBy(*keys).agg(F.max("_cmt").alias("_cmt"))
+    return tagged.join(latest, [*keys, "_cmt"], "left_semi").drop("_cmt")
 
 
 def write_records_and_checkpoint(
@@ -89,13 +144,15 @@ def write_records_and_checkpoint(
     commit fingerprints that disagree with the files actually written.
     """
     spark = records.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     tiled = with_tile_id(records).persist()
     try:
-        tiled.write.mode("overwrite").partitionBy("tile_id").parquet(out_dir)
-        lineage_rows(tiled, run_id, stage).write.mode("append").parquet(
-            checkpoint_dir
-        )
+        with _overwrite_mode_dynamic(spark):
+            tiled.write.mode("overwrite").partitionBy("tile_id").parquet(
+                out_dir
+            )
+            lineage_rows(tiled, run_id, stage).write.mode("append").parquet(
+                checkpoint_dir
+            )
     finally:
         tiled.unpersist()
 
@@ -117,19 +174,19 @@ def write_stream_batch(
     previous partial output and never another batch's rows.
     """
     spark = records.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     tiled = (
         with_tile_id(records)
         .withColumn("batch_id", F.lit(batch_id).cast("long"))
         .persist()
     )
     try:
-        tiled.write.mode("overwrite").partitionBy("tile_id", "batch_id").parquet(
-            out_dir
-        )
-        lineage_rows(tiled, f"{run_id}-b{batch_id}", stage).write.mode(
-            "append"
-        ).parquet(checkpoint_dir)
+        with _overwrite_mode_dynamic(spark):
+            tiled.write.mode("overwrite").partitionBy(
+                "tile_id", "batch_id"
+            ).parquet(out_dir)
+            lineage_rows(tiled, f"{run_id}-b{batch_id}", stage).write.mode(
+                "append"
+            ).parquet(checkpoint_dir)
     finally:
         tiled.unpersist()
 
@@ -176,11 +233,12 @@ def verify_lineage(
     #     tile_id); batch_id is encoded in run_id ("<run>-b<N>") and tiles
     #     legitimately accumulate rows across batches, so batches must
     #     still SUM while each batch's replays collapse.
-    cp = spark.read.parquet(checkpoint_dir).filter(F.col("stage") == stage)
+    cp = _with_commit_token(
+        spark.read.parquet(checkpoint_dir).filter(F.col("stage") == stage)
+    )
     keys = ["run_id", "tile_id"] if per_batch else ["tile_id"]
-    latest = cp.groupBy(*keys).agg(F.max("completed_at").alias("completed_at"))
     committed = (
-        cp.join(latest, [*keys, "completed_at"], "left_semi")
+        _latest_commits(cp, keys)
         .groupBy("tile_id")
         .agg(
             F.sum("row_count").alias("cp_rows"),
@@ -249,7 +307,6 @@ def compact_records(
     the checkpoint table is untouched (same rows, same fingerprints —
     the lineage audit stays green across a compaction by construction).
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df = spark.read.parquet(out_dir)
     compacted = (
         df.repartition(F.col("tile_id"))
@@ -264,12 +321,13 @@ def compact_records(
         # (sources/tables.py), which commits a new snapshot instead.
         .localCheckpoint()
     )
-    (
-        compacted.write.mode("overwrite")
-        .option("maxRecordsPerFile", target_rows_per_file)
-        .partitionBy("tile_id")
-        .parquet(out_dir)
-    )
+    with _overwrite_mode_dynamic(spark):
+        (
+            compacted.write.mode("overwrite")
+            .option("maxRecordsPerFile", target_rows_per_file)
+            .partitionBy("tile_id")
+            .parquet(out_dir)
+        )
 
 
 def vacuum_checkpoint(
@@ -297,23 +355,41 @@ def vacuum_checkpoint(
     a sibling temp directory straight off the source read (the source
     stays untouched — no lineage-cutting checkpoint of the only copy),
     then swapped in with directory renames. A crash mid-swap leaves the
-    commit truth intact in one of the two directories instead of a
-    half-deleted overwrite of the only copy.
+    commit truth intact in one of the two directories; the NEXT vacuum
+    call auto-recovers by restoring the ``.vacuum-old`` copy before
+    starting (round-3 advice — previously a crash between the two moves
+    left no checkpoint_dir at all until someone restored it by hand).
+
+    LOCAL-FILESYSTEM ONLY (round-3 advice, documented in the CLI help):
+    the swap uses os-level renames, which do not exist for object stores.
+    Non-local URIs are refused up front; the production form against an
+    Iceberg catalog is an expire-snapshots/rewrite procedure through the
+    S1 seam, which commits a new snapshot instead of renaming paths.
     """
+    import os
     import shutil
 
-    cp = spark.read.parquet(checkpoint_dir)
+    if "://" in checkpoint_dir and not checkpoint_dir.startswith("file:"):
+        raise ValueError(
+            "vacuum_checkpoint swaps directories with local renames and "
+            f"cannot operate on non-local URIs: {checkpoint_dir!r}"
+        )
+    checkpoint_dir = checkpoint_dir.removeprefix("file://")
+    tmp = checkpoint_dir.rstrip("/") + ".vacuum-tmp"
+    old = checkpoint_dir.rstrip("/") + ".vacuum-old"
+    # crash recovery: a previous vacuum that died between its two moves
+    # left the only copy in .vacuum-old — restore it instead of running
+    # against a missing source (and never rmtree an .old we still need)
+    if not os.path.exists(checkpoint_dir) and os.path.exists(old):
+        shutil.move(old, checkpoint_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+    cp = _with_commit_token(spark.read.parquet(checkpoint_dir))
     keys = (
         ["stage", "tile_id"] if aggressive else ["stage", "run_id", "tile_id"]
     )
-    latest = cp.groupBy(*keys).agg(
-        F.max("completed_at").alias("completed_at")
-    )
-    reduced = cp.join(latest, [*keys, "completed_at"], "left_semi")
-    tmp = checkpoint_dir.rstrip("/") + ".vacuum-tmp"
-    old = checkpoint_dir.rstrip("/") + ".vacuum-old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    reduced = _latest_commits(cp, keys)
     reduced.write.mode("overwrite").parquet(tmp)
     shutil.move(checkpoint_dir, old)
     shutil.move(tmp, checkpoint_dir)

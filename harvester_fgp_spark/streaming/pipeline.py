@@ -130,6 +130,33 @@ def stream_dedup_first_seen(pages: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup_within_watermark(
+    pages: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Bounded-state streaming url dedup with NO custom stateful operator
+    (round 4): Spark's native ``dropDuplicatesWithinWatermark`` keeps a
+    url's dedup state only until the watermark passes its event time +
+    the delay, so the state store is O(urls per watermark horizon) —
+    the documented 10^12-url shape next to ``stream_dedup_first_seen``,
+    whose exact forever-dedup state is O(every url ever seen) (its
+    docstring's "shard or sketch at 10^12" seam). The trade: duplicates
+    farther apart in EVENT TIME than the watermark re-emit — for crawl
+    streams, "dedup re-crawls within a day/week" is usually the actual
+    product requirement, and this plan gets it with a plain shuffle on
+    url plus watermark-driven state eviction, no Python state function.
+
+    Unlike ``dropDuplicates`` (state grows forever, same as first_seen)
+    the guarantee is explicitly time-bounded; emitted rows are the
+    first-ARRIVED copy per url within the horizon, exactly once across
+    restarts (state is checkpointed by Structured Streaming).
+    """
+    return (
+        pages.select("url", "warc_ts")
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url"])
+    )
+
+
 def stream_records_foreach_batch(
     spark: SparkSession,
     pages: DataFrame,

@@ -70,8 +70,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     )
     p.add_argument(
         "--vacuum-checkpoint", action="store_true",
-        help="compact the lineage table to the latest commit per tile "
-        "(replays/reruns append; audit semantics unchanged)",
+        help="compact the lineage table to the latest commit per "
+        "(run, tile) (replays/reruns append; audit semantics unchanged). "
+        "LOCAL FILESYSTEM ONLY: the atomic swap uses directory renames, "
+        "which object stores lack — on Iceberg use the snapshot-expiry "
+        "procedure instead",
     )
     p.add_argument("--cell-level", type=int, default=12)
     p.add_argument("--tile-z", type=int, default=8)
@@ -161,6 +164,10 @@ def main(argv: list[str]) -> None:
             bad_tiles.show(20, truncate=False)
             raise SystemExit(f"lineage verification FAILED for {n_bad} tiles")
         print("lineage verified: disk == checkpoint for all tiles")
+    # distinct completion marker AFTER the maintenance steps (round-3
+    # advice): the metrics line above prints before compaction/vacuum can
+    # still throw, so log scrapers must key on THIS line, not on metrics
+    print(f"job complete: run_id={args.run_id}")
     spark.stop()
 
 

@@ -112,21 +112,43 @@ def test_knn_leaves_no_lingering_cache(spark):
     exact-path assertion is BOUNDED growth (<= 2 small frames per
     escalation level), not zero."""
     q, c, qdf, cdf = _frames(spark, n_q=60, n_c=10, seed=3)
-    jsc = spark.sparkContext._jsc
-    before = jsc.getPersistentRDDs().size()
+
+    # OTHER tests' checkpoint blocks free asynchronously on JVM GC; a
+    # free landing between two raw size() reads makes the delta lie in
+    # either direction (seen in-suite round 4). Force GC on both VMs and
+    # wait for the count to stop moving before trusting it.
+    def stable_count() -> int:
+        import gc
+        import time
+
+        jsc = spark.sparkContext._jsc
+        prev = -1
+        for _ in range(25):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.2)
+            cur = jsc.getPersistentRDDs().size()
+            if cur == prev:
+                return cur
+            prev = cur
+        return prev
+
+    before = stable_count()
     G.knn_join(
         qdf, cdf, k=4, query_id="qid", cand_id="cid",
         prefix_level=6, expand_underfilled=True,
     ).count()
     # non-exact path: strict — nothing cached at all
-    assert jsc.getPersistentRDDs().size() == before
-    G.knn_join(
+    assert stable_count() == before
+    exact_df = G.knn_join(
         qdf, cdf, k=2, query_id="qid", cand_id="cid",
         prefix_level=4, exact=True,
-    ).count()
+    )
+    exact_df.count()
     # exact path: levels [4, 2, 0] -> at most 2 checkpoints per non-final
-    # level (out_lv + remaining); anything beyond that is a NEW leak
-    after = jsc.getPersistentRDDs().size()
+    # level (out_lv + remaining); anything beyond that is a NEW leak.
+    # exact_df stays referenced so its own checkpoints cannot free early.
+    after = stable_count()
     assert after - before <= 4
 
 

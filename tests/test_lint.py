@@ -63,6 +63,32 @@ def test_no_per_row_python_in_engine():
     assert not offenders, "\n".join(offenders)
 
 
+def test_annotations_resolve_in_engine_modules():
+    """Round-4 extension (verdict wrong-#3): with ``from __future__ import
+    annotations`` every annotation is a lazy string, so a signature can
+    reference a never-imported name (``Column``) and work fine — until a
+    ``typing.get_type_hints`` consumer NameErrors on it. Resolve every
+    module-level callable's hints eagerly so annotation-only imports
+    can't rot."""
+    import importlib
+    import inspect
+    import typing
+
+    failures = []
+    for path in sorted(ENGINE.rglob("*.py")):
+        rel = path.relative_to(ENGINE.parent).with_suffix("")
+        mod_name = ".".join(rel.parts)
+        mod = importlib.import_module(mod_name)
+        for name, fn in vars(mod).items():
+            if not (inspect.isfunction(fn) and fn.__module__ == mod_name):
+                continue
+            try:
+                typing.get_type_hints(fn)
+            except Exception as ex:  # noqa: BLE001
+                failures.append(f"{mod_name}.{name}: {ex!r}")
+    assert not failures, "\n".join(failures)
+
+
 def test_entry_module_has_no_collect():
     src = (ENGINE.parent / "__spark_entry__.py").read_text()
     assert ".collect()" not in src

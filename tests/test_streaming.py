@@ -90,6 +90,74 @@ def test_stateful_dedup_across_micro_batches(spark, tmp_path):
     assert urls == ["u://a", "u://b", "u://c", "u://d"]  # each exactly once
 
 
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """Round-4 twin of the cross-batch first-seen test: the native
+    dropDuplicatesWithinWatermark variant dedups re-crawls whose event
+    times sit within the watermark horizon, while a re-crawl beyond the
+    horizon re-emits AFTER the watermark has evicted the url's state —
+    the bounded-state trade documented in stream_dedup_within_watermark
+    (state = urls per horizon, not urls ever)."""
+    import pandas as pd
+
+    from harvester_fgp_spark.schemas import PAGES_SCHEMA
+    from harvester_fgp_spark.streaming.pipeline import (
+        read_pages_stream,
+        stream_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "wm_dedup_src")
+
+    def _batch(urls, day, mode):
+        pdf = pd.DataFrame(
+            {
+                "url": urls,
+                "warc_ts": [pd.Timestamp(f"2024-01-{day:02d}")] * len(urls),
+                "html": [None] * len(urls),
+                "text": ["x"] * len(urls),
+                "lang": ["en"] * len(urls),
+            }
+        )
+        spark.createDataFrame(pdf, schema=PAGES_SCHEMA).write.mode(
+            mode
+        ).parquet(src)
+
+    # batch 1: a,b on day 1; batch 2: b again SAME day (inside horizon)
+    # plus c on day 10 (advances the watermark past day 1 + 1d)
+    _batch(["u://a", "u://b"], 1, "overwrite")
+    _batch(["u://b"], 1, "append")
+    _batch(["u://c"], 10, "append")
+
+    stream = read_pages_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stream_dedup_within_watermark(stream, watermark="1 day")
+        .writeStream.format("memory")
+        .queryName("wm_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wm_cp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = sorted(
+            r.url for r in spark.sql("select url from wm_dedup").collect()
+        )
+        assert first == ["u://a", "u://b", "u://c"]  # in-horizon dup dropped
+
+        # phase 2 (same running query): day-1 state is long evicted
+        # (watermark ~ day 9); a re-crawl of u://a far outside the
+        # horizon RE-emits — the bounded guarantee, exactly
+        _batch(["u://a"], 12, "append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from collections import Counter
+
+    counts = Counter(
+        r.url for r in spark.sql("select url from wm_dedup").collect()
+    )
+    assert counts == {"u://a": 2, "u://b": 1, "u://c": 1}
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """§2.10 late-data semantics: with a short watermark and append-mode
     windowed counts, a row arriving far behind the advanced watermark is
