@@ -45,11 +45,14 @@ BENCH_QUERIES = (
 )
 # NOT benched: geo_dbscan — at sf0.1 the fixture percolates into one giant
 # cluster and the contraction loop's per-round FIXED cost (a handful of
-# sub-second Spark jobs per round) dominates an 8000-point input (~15 s
-# that measures scheduler overhead, not the operator; the per-round work
-# is O(current edges) and amortizes at real scale). Correctness at sf0.01
-# is driver-gated with an exact recursive-CTE oracle, and convergence is
-# exact-terminated (raises rather than returning under-merged labels).
+# sub-second Spark jobs per round) dominates an 8000-point input (8.5 s
+# warm, measured r4 — scheduler overhead, not the operator). The
+# amortization claim is now MEASURED, not asserted: at 1M nodes the loop
+# does 600k-edge sparse in 2 rounds / 13.9 s and a 1M-node max-diameter
+# path in 9 rounds / 21.5 s with per-round seconds tracking the current
+# edge count (bench/bench_contraction.py; BENCH/BASELINE.md). Correctness
+# at sf0.01 is driver-gated with an exact recursive-CTE oracle, and
+# convergence is exact-terminated (raises rather than under-merging).
 # NOT benched: sim_near_dup — at the oracle's threshold (0.42, picked only
 # because the driver embeddings are near-orthogonal) the chord-bound
 # buckets are wider than the projection spread, so the query is

@@ -356,6 +356,37 @@ def duplicate_span_counts(
     )
 
 
+def _stats_reset_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint + RESET of inherited plan statistics (round 4).
+
+    Spark's ``Dataset.localCheckpoint`` truncates the logical plan but
+    copies the ORIGIN plan's ``Statistics`` onto the new ``LogicalRDD``
+    (``originStats`` — so broadcast decisions keep working after a
+    checkpoint). For an ITERATIVE algorithm that is a time bomb: the
+    size-only join estimate is the PRODUCT of its children, so estimates
+    compound MULTIPLICATIVELY across rounds — digits double per round,
+    and by round ~25 the driver burns CPU-minutes inside
+    ``BigInteger.multiplyToomCook3`` on numbers with 10^8 digits and
+    then dies with "BigInteger would overflow supported range"
+    (observed live on a 1M-node contraction: a single stats visit took
+    41 CPU-minutes; probe: sizeInBytes had 470..969 DIGITS after round
+    1). Rebuilding the Dataset over the SAME materialized rows via
+    ``internalCreateDataFrame`` drops ``originStats``: the frame then
+    reports the conf default size — crude but CONSTANT, so per-round
+    estimates are bounded and AQE's runtime statistics (which drive the
+    actual join strategy under adaptive execution) are unaffected.
+    No data moves: ``toRdd`` on a checkpointed frame is the already
+    materialized internal RDD, not a re-execution.
+    """
+    ck = df.localCheckpoint()
+    spark = ck.sparkSession
+    jdf = ck._jdf
+    fresh = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(fresh, spark)
+
+
 def connected_components(
     ids: DataFrame,
     edges: DataFrame,
@@ -398,6 +429,18 @@ def connected_components(
     round-3 lesson). The RETURNED frame sits on a checkpointed base —
     callers need no unpersist; executor blocks free on GC.
 
+    Measured at 1M nodes (bench/bench_contraction.py, local[16],
+    2026-08-17): sparse regime (600k random edges — the production
+    near-dup shape) converges in 2 rounds / 13.9 s total; percolated
+    regime (a single 1M-node max-diameter PATH, the adversarial case) in
+    9 rounds / 21.5 s, edge count decaying geometrically per round
+    (2.0M -> 934k -> 131k -> 16k -> 804 -> ... -> 2) with per-round
+    seconds tracking the edge count down to a ~1 s scheduler floor —
+    i.e. per-round work IS O(current edges) and the fixed cost
+    amortizes, as the bench.py geo_dbscan exclusion note claims. Before
+    round 4 the same 1M run burned 55+ minutes inside Catalyst BigInt
+    stats arithmetic — see _stats_reset_checkpoint.
+
     Output: (id_col, cluster_id) for EVERY id — singletons cluster with
     themselves; cluster_id = min member id.
 
@@ -413,10 +456,10 @@ def connected_components(
         edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
     )
     edge_nodes = sym.select("v").distinct()
-    mapping = edge_nodes.select(
-        "v", F.col("v").alias("lbl")
-    ).localCheckpoint()
-    contracted = sym.localCheckpoint()
+    mapping = _stats_reset_checkpoint(
+        edge_nodes.select("v", F.col("v").alias("lbl"))
+    )
+    contracted = _stats_reset_checkpoint(sym)
     n_edges = contracted.count()
     if stats is not None:
         stats["rounds"] = []  # (edges entering the round, seconds)
@@ -452,7 +495,7 @@ def connected_components(
         # of scheduler-fixed-cost Spark jobs, and measured wall clock is
         # job-count-bound, not data-bound (bench/bench_contraction.py):
         # batching cut per-round jobs ~3x with identical results.
-        adopt = adopt.localCheckpoint()
+        adopt = _stats_reset_checkpoint(adopt)
         _JUMP_BATCH = 3
 
         def _compose(frame, with_flag: bool):
@@ -480,7 +523,9 @@ def connected_components(
             frame = adopt
             for _ in range(_JUMP_BATCH - 1):
                 frame = _compose(frame, with_flag=False)
-            moved_frame = _compose(frame, with_flag=True).localCheckpoint()
+            moved_frame = _stats_reset_checkpoint(
+                _compose(frame, with_flag=True)
+            )
             adopt = moved_frame.select("x", "lx")
             if moved_frame.filter(F.col("_moved")).isEmpty():
                 break
@@ -492,8 +537,8 @@ def connected_components(
         mapping = (
             mapping.join(adopt, mapping["lbl"] == adopt["x"], "left")
             .select("v", F.coalesce("lx", "lbl").alias("lbl"))
-            .localCheckpoint()
         )
+        mapping = _stats_reset_checkpoint(mapping)
         lu = adopt.select(F.col("x").alias("u"), F.col("lx").alias("_lu"))
         lv = adopt.select(F.col("x").alias("v"), F.col("lx").alias("_lv"))
         contracted = (
@@ -505,8 +550,8 @@ def connected_components(
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
+        contracted = _stats_reset_checkpoint(contracted)
         n_edges = contracted.count()
         if stats is not None:
             stats["rounds"].append(
