@@ -96,8 +96,17 @@ executors criterion (no real cluster available — SURVEY.md §5.2-7).
 Per-query seconds at local[{N_HIGH}]: `{json.dumps(r32['queries'])}`
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve any custom "## ..." sections appended after the generated
+    # block (e.g. the round-4 contraction measurements)
+    extra = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        idx = prev.find("\n## ")
+        if idx != -1:
+            extra = prev[idx:]
+    with open(path, "w") as f:
+        f.write(md + extra)
     print(json.dumps({"tp8": tp8, "tp32": tp32, "efficiency": round(eff, 3)}))
 
 
