@@ -1328,6 +1328,50 @@ def _q_flagship_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_flagship_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECORD-level value oracle for the flagship pipeline (round 4,
+    extending flagship_summary): runs the native engine with
+    keep_text=True and digests the normalized-record SCHEMA itself per
+    (lang, kind) — record_id (48-bit slices of the sha2 summed: exact,
+    no overflow at gate scale), the byte-stable GeoJSON ``spatial``
+    string (sha2-sliced sum — %.6f of exact integer coords formats
+    identically in Java and C printf), bilingual title pairing, and the
+    sorted-distinct keywords serialization. The DuckDB twin rebuilds
+    every field longhand from the same integer-arithmetic pages."""
+    from harvester_fgp_spark.plans.pipeline import mine_records
+
+    pages = _flagship_oracle_pages(spark, sf_dir)
+    recs = mine_records(
+        spark,
+        pages,
+        _flagship_polygons(),
+        cell_level=CELL_LEVEL,
+        tile_z=TILE_Z,
+        keep_text=True,
+        engine="native",
+    )
+
+    def sha48(col):
+        return F.conv(F.substring(col, 1, 12), 16, 10).cast("long")
+
+    # the normalized-record schema has no lang column (bilingual *_en/_fr
+    # pairs replace it); the en/fr split shows up in the title counts
+    return recs.groupBy("kind").agg(
+        F.count("*").alias("n_records"),
+        F.countDistinct("url").alias("n_urls"),
+        F.sum(sha48(F.col("record_id"))).alias("rid_sum"),
+        F.count("spatial").alias("n_spatial"),
+        F.sum(sha48(F.sha2(F.col("spatial"), 256))).alias("spatial_sum"),
+        F.count("title_en").alias("n_title_en"),
+        F.count("title_fr").alias("n_title_fr"),
+        F.sum(F.length(F.col("title_en"))).cast("long").alias("title_chars"),
+        F.sum(F.length(F.concat_ws(",", F.col("keywords"))))
+        .cast("long")
+        .alias("kw_chars"),
+        F.sum(F.length("notes_en")).cast("long").alias("notes_en_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1705,6 +1749,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn": _q_geo_knn,
         "dedup_lines": _q_dedup_lines,
         "dedup_ngram": _q_dedup_ngram,
+        # round 4: record-SCHEMA value oracle for the flagship (tail —
+        # flagship_summary holds the family's driver-window slot)
+        "flagship_records": _q_flagship_records,
     }
 
 
@@ -1857,6 +1904,7 @@ def oracle_sql() -> dict[str, str]:
     flagship_pages = """
         SELECT doc_id,
                'https://ex.org/' || CAST(doc_id AS VARCHAR) AS url,
+               CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'fr' END AS lang,
                CASE WHEN doc_id % 3 = 0 THEN
                  'west: '   || CAST((doc_id*11) % 300 - 160 AS VARCHAR) ||
                  ' east: '  || CAST((doc_id*11) % 300 - 160 + 10 + doc_id % 17 AS VARCHAR) ||
@@ -1909,8 +1957,77 @@ def oracle_sql() -> dict[str, str]:
         FROM cells GROUP BY 1, 2, 3, 4
     """
 
+    geojson_fmt = (
+        '{"type": "Polygon", "coordinates": [[[%.6f, %.6f], [%.6f, %.6f], '
+        "[%.6f, %.6f], [%.6f, %.6f], [%.6f, %.6f]]]}"
+    )
+    flagship_records_sql = f"""
+        WITH pages AS ({flagship_pages}),
+        pay AS (
+            SELECT doc_id, url, lang, text, 'bbox' AS kind, 0 AS idx,
+                   (CAST(regexp_extract(text, 'south: (-?\\d+)', 1) AS DOUBLE)
+                  + CAST(regexp_extract(text, 'north: (-?\\d+)', 1) AS DOUBLE)) / 2.0 AS lat,
+                   (CAST(regexp_extract(text, 'west: (-?\\d+)', 1) AS DOUBLE)
+                  + CAST(regexp_extract(text, 'east: (-?\\d+)', 1) AS DOUBLE)) / 2.0 AS lon,
+                   CAST(regexp_extract(text, 'west: (-?\\d+)', 1) AS DOUBLE) AS wst,
+                   CAST(regexp_extract(text, 'south: (-?\\d+)', 1) AS DOUBLE) AS sth,
+                   CAST(regexp_extract(text, 'east: (-?\\d+)', 1) AS DOUBLE) AS est,
+                   CAST(regexp_extract(text, 'north: (-?\\d+)', 1) AS DOUBLE) AS nth
+            FROM pages WHERE text LIKE 'west:%'
+            UNION ALL
+            SELECT doc_id, url, lang, text, 'point' AS kind,
+                   CASE WHEN text LIKE 'west:%' THEN 1 ELSE 0 END AS idx,
+                   CAST(regexp_extract(text, 'P (-?\\d+),', 1) AS DOUBLE) AS lat,
+                   CAST(regexp_extract(text, ', (-?\\d+) end', 1) AS DOUBLE) AS lon,
+                   NULL AS wst, NULL AS sth, NULL AS est, NULL AS nth
+            FROM pages
+        ),
+        polys AS (
+            SELECT 'poly' || lpad(CAST(p AS VARCHAR), 3, '0') AS polygon_id,
+                   (p * 89) % 340 - 170 + 0.5 AS cx,
+                   (p * 67) % 160 - 80 + 0.5 AS cy,
+                   3.75 + p % 4 AS r
+            FROM range({FLAGSHIP_N_POLYS}) t(p)
+        ),
+        matched AS (
+            SELECT pay.*, polys.polygon_id
+            FROM pay LEFT JOIN polys
+              ON ABS(pay.lon - polys.cx) + ABS(pay.lat - polys.cy) < polys.r
+        ),
+        fields AS (
+            SELECT lang, kind, url,
+                   sha256(url || '#' || CAST(idx AS VARCHAR)) AS rid,
+                   CASE WHEN kind = 'bbox' THEN
+                     printf('{geojson_fmt}', wst, sth, est, sth, est, nth,
+                            wst, nth, wst, sth)
+                   END AS spatial,
+                   array_to_string((string_split(text, ' '))[1:4], ' ') AS title,
+                   array_to_string(
+                     list_sort(list_distinct((string_split(text, ' '))[1:12])),
+                     ',') AS kw,
+                   text
+            FROM matched
+        )
+        SELECT kind, COUNT(*) AS n_records,
+               COUNT(DISTINCT url) AS n_urls,
+               CAST(SUM(('0x' || substr(rid, 1, 12))::BIGINT) AS BIGINT)
+                   AS rid_sum,
+               COUNT(spatial) AS n_spatial,
+               CAST(SUM(('0x' || substr(sha256(spatial), 1, 12))::BIGINT)
+                    AS BIGINT) AS spatial_sum,
+               COUNT(CASE WHEN lang <> 'fr' THEN title END) AS n_title_en,
+               COUNT(CASE WHEN lang = 'fr' THEN title END) AS n_title_fr,
+               CAST(SUM(CASE WHEN lang <> 'fr' THEN length(title) END)
+                    AS BIGINT) AS title_chars,
+               CAST(SUM(length(kw)) AS BIGINT) AS kw_chars,
+               CAST(SUM(CASE WHEN lang <> 'fr' THEN length(text) END)
+                    AS BIGINT) AS notes_en_chars
+        FROM fields GROUP BY 1
+    """
+
     return {
         "flagship_summary": flagship_sql,
+        "flagship_records": flagship_records_sql,
         "geo_cell_encode": f"""
             WITH pts AS ({pts}),
             cells AS (
