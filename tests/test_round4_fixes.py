@@ -66,6 +66,36 @@ def test_latest_commits_tokenless_legacy_rows(spark):
     assert len(reduced) == 1 and reduced[0]["row_count"] == 20
 
 
+def test_contraction_stats_do_not_compound(spark):
+    """Round-4 originStats bug pin: localCheckpoint copies the origin
+    plan's Statistics onto the checkpointed LogicalRDD, and size-only
+    join estimates MULTIPLY children — an iterative loop compounds the
+    estimate exponentially (digits double per round; a 1M-node run died
+    in BigInteger arithmetic after 41 CPU-minutes). The fixed loop's
+    returned frame must report a bounded estimate (conf-default scale,
+    <= Long.MaxValue ~ 19 digits), however many rounds ran."""
+    from harvester_fgp_spark.operators.dedup import connected_components
+
+    n = 2000
+    m = 1 << 11
+    ids = spark.range(n).select(
+        ((F.col("id") * 1685821657 + 7) % m).alias("doc_id")
+    )
+    edges = spark.range(n - 1).select(
+        ((F.col("id") * 1685821657 + 7) % m).alias("id_a"),
+        (((F.col("id") + 1) * 1685821657 + 7) % m).alias("id_b"),
+    )
+    stats: dict = {}
+    cc = connected_components(ids, edges, id_col="doc_id", stats=stats)
+    assert cc.select("cluster_id").distinct().count() == 1  # one path
+    assert len(stats["rounds"]) >= 4  # enough rounds to compound
+    digits = len(
+        str(cc._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    # pre-fix this was hundreds of digits after a handful of rounds
+    assert digits <= 25, digits
+
+
 def test_vacuum_refuses_non_local_uri(spark):
     with pytest.raises(ValueError, match="non-local"):
         C.vacuum_checkpoint(spark, "s3://bucket/checkpoint")
