@@ -94,17 +94,28 @@ executors criterion (no real cluster available — SURVEY.md §5.2-7).
 (north-rule target: >= 0.8)
 
 Per-query seconds at local[{N_HIGH}]: `{json.dumps(r32['queries'])}`
+
+<!-- end generated: bench_scaling -->
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    # preserve any custom "## ..." sections appended after the generated
-    # block (e.g. the round-4 contraction measurements)
+    # Preserve custom sections appended after the generated block (e.g.
+    # the round-4 contraction measurements). Splice on the explicit end
+    # marker (round-4 advice: splicing on the first '\n## ' re-appended
+    # stale custom sections verbatim forever, and would duplicate
+    # generated content if the generated block ever gained a heading);
+    # fall back to the old heading heuristic only for pre-marker files.
+    marker = "<!-- end generated: bench_scaling -->\n"
     extra = ""
     if os.path.exists(path):
         prev = open(path).read()
-        idx = prev.find("\n## ")
+        idx = prev.find(marker)
         if idx != -1:
-            extra = prev[idx:]
+            extra = prev[idx + len(marker):]
+        else:
+            idx = prev.find("\n## ")
+            if idx != -1:
+                extra = prev[idx:]
     with open(path, "w") as f:
         f.write(md + extra)
     print(json.dumps({"tp8": tp8, "tp32": tp32, "efficiency": round(eff, 3)}))

@@ -57,6 +57,12 @@ def eps_neighbor_pairs(
     cell-neighborhood equi-join. Each unordered pair appears exactly
     twice (once per direction) because the probe side's 9 offsets hit
     the build side's home cell exactly once."""
+    # eps is interpolated into the int64 cell expression below: a float
+    # fails analysis on `div`, and eps <= 0 makes pmod/div yield NULL cell
+    # keys under non-ANSI mode — every point silently becomes noise
+    # (round-4 advice). Fail loudly instead.
+    if not isinstance(eps, int) or isinstance(eps, bool) or eps <= 0:
+        raise ValueError(f"eps must be a positive int, got {eps!r}")
     p = points.select(
         F.col(id_col).alias("_id"),
         F.col(x_col).cast("long").alias("_x"),

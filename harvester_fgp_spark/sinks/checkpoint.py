@@ -107,10 +107,27 @@ def lineage_rows(records: DataFrame, run_id: str, stage: str) -> DataFrame:
 def _with_commit_token(cp: DataFrame) -> DataFrame:
     """Checkpoint tables written before the commit_token column existed
     read without it; treat those rows as the empty token (sorts before
-    any real token, so a tokened rewrite of the same tick wins)."""
+    any real token, so a tokened rewrite of the same tick wins). Mixed
+    tables (legacy + tokened files under one dir, read with mergeSchema)
+    surface legacy rows as NULL tokens — coalesce them to '' so the
+    struct max never has to order against NULL."""
     if "commit_token" not in cp.columns:
         cp = cp.withColumn("commit_token", F.lit(""))
+    else:
+        cp = cp.withColumn(
+            "commit_token", F.coalesce(F.col("commit_token"), F.lit(""))
+        )
     return cp
+
+
+def _read_checkpoint(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Read the lineage table with mergeSchema=true (round-4 advice): the
+    dir is append-mode, so post-upgrade it mixes files with and without
+    commit_token. Default schema inference samples ONE file — if it picks
+    a legacy file the commit_token column is silently dropped for ALL
+    rows and the same-tick tie-break goes inert. mergeSchema unions the
+    file schemas so tokened rows keep their tokens."""
+    return spark.read.option("mergeSchema", "true").parquet(checkpoint_dir)
 
 
 def _latest_commits(cp: DataFrame, keys: list[str]) -> DataFrame:
@@ -234,7 +251,7 @@ def verify_lineage(
     #     legitimately accumulate rows across batches, so batches must
     #     still SUM while each batch's replays collapse.
     cp = _with_commit_token(
-        spark.read.parquet(checkpoint_dir).filter(F.col("stage") == stage)
+        _read_checkpoint(spark, checkpoint_dir).filter(F.col("stage") == stage)
     )
     keys = ["run_id", "tile_id"] if per_batch else ["tile_id"]
     committed = (
@@ -330,6 +347,30 @@ def compact_records(
         )
 
 
+def _local_path(uri: str) -> str:
+    """Normalize a checkpoint-dir argument to an os-level local path, or
+    refuse (round-4 advice): the naive '://'+removeprefix guard let the
+    Hadoop-style 'file:/path' form through unstripped and mangled
+    'file://host/path' into the relative path 'host/path'. urlparse
+    handles all three file-URI shapes; any non-file scheme (s3a, hdfs,
+    ...) is rejected because the vacuum swap is os-rename-based."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    if parsed.scheme == "":
+        return uri  # plain local path
+    if parsed.scheme != "file":
+        raise ValueError(
+            "vacuum_checkpoint swaps directories with local renames and "
+            f"cannot operate on non-local URIs: {uri!r}"
+        )
+    if parsed.netloc not in ("", "localhost"):
+        raise ValueError(
+            f"file URI with a remote authority is not local: {uri!r}"
+        )
+    return unquote(parsed.path)
+
+
 def vacuum_checkpoint(
     spark: SparkSession,
     checkpoint_dir: str,
@@ -369,12 +410,7 @@ def vacuum_checkpoint(
     import os
     import shutil
 
-    if "://" in checkpoint_dir and not checkpoint_dir.startswith("file:"):
-        raise ValueError(
-            "vacuum_checkpoint swaps directories with local renames and "
-            f"cannot operate on non-local URIs: {checkpoint_dir!r}"
-        )
-    checkpoint_dir = checkpoint_dir.removeprefix("file://")
+    checkpoint_dir = _local_path(checkpoint_dir)
     tmp = checkpoint_dir.rstrip("/") + ".vacuum-tmp"
     old = checkpoint_dir.rstrip("/") + ".vacuum-old"
     # crash recovery: a previous vacuum that died between its two moves
@@ -385,7 +421,7 @@ def vacuum_checkpoint(
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
 
-    cp = _with_commit_token(spark.read.parquet(checkpoint_dir))
+    cp = _with_commit_token(_read_checkpoint(spark, checkpoint_dir))
     keys = (
         ["stage", "tile_id"] if aggressive else ["stage", "run_id", "tile_id"]
     )

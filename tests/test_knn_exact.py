@@ -114,32 +114,38 @@ def test_knn_leaves_no_lingering_cache(spark):
     q, c, qdf, cdf = _frames(spark, n_q=60, n_c=10, seed=3)
 
     # OTHER tests' checkpoint blocks free asynchronously on JVM GC; a
-    # free landing between two raw size() reads makes the delta lie in
-    # either direction (seen in-suite round 4). Force GC on both VMs and
-    # wait for the count to stop moving before trusting it.
-    def stable_count() -> int:
+    # free landing between two measurements makes COUNT deltas lie in
+    # either direction (failed in-suite round 4: 4 stale RDDs freed
+    # during the measured call and `after == before` tripped on 0 == 4).
+    # Concurrent frees can only REMOVE ids, never add them, so the leak
+    # assertion is on the set of NEW persistent-RDD ids — immune to GC
+    # races by construction. GC-stabilize anyway so `before` doesn't
+    # carry ids that are already doomed.
+    def stable_ids() -> frozenset:
         import gc
         import time
 
         jsc = spark.sparkContext._jsc
-        prev = -1
+        prev = None
         for _ in range(25):
             gc.collect()
             spark.sparkContext._jvm.System.gc()
             time.sleep(0.2)
-            cur = jsc.getPersistentRDDs().size()
+            cur = frozenset(
+                int(i) for i in jsc.getPersistentRDDs().keySet().toArray()
+            )
             if cur == prev:
                 return cur
             prev = cur
         return prev
 
-    before = stable_count()
+    before = stable_ids()
     G.knn_join(
         qdf, cdf, k=4, query_id="qid", cand_id="cid",
         prefix_level=6, expand_underfilled=True,
     ).count()
-    # non-exact path: strict — nothing cached at all
-    assert stable_count() == before
+    # non-exact path: strict — nothing NEW cached at all
+    assert stable_ids() - before == frozenset()
     exact_df = G.knn_join(
         qdf, cdf, k=2, query_id="qid", cand_id="cid",
         prefix_level=4, exact=True,
@@ -148,8 +154,8 @@ def test_knn_leaves_no_lingering_cache(spark):
     # exact path: levels [4, 2, 0] -> at most 2 checkpoints per non-final
     # level (out_lv + remaining); anything beyond that is a NEW leak.
     # exact_df stays referenced so its own checkpoints cannot free early.
-    after = stable_count()
-    assert after - before <= 4
+    new_ids = stable_ids() - before
+    assert len(new_ids) <= 4, sorted(new_ids)
 
 
 def test_cell_boundary_dist_is_a_true_lower_bound(spark):

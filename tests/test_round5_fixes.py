@@ -1,0 +1,97 @@
+"""Round-5 advice fixes (ADVICE.md, judged round 4):
+
+1. medium — lineage reads must use mergeSchema: an append-mode checkpoint
+   dir mixes pre-/post-upgrade files, and default schema inference samples
+   ONE file; picking a legacy file silently drops commit_token for ALL
+   rows and the same-tick tie-break goes inert.
+2. low — vacuum URI normalization: 'file:/path' (Hadoop style) passed the
+   old '://' guard unstripped; 'file://host/path' stripped to the relative
+   path 'host/path'.
+3. low — eps_neighbor_pairs interpolates eps into int64 SQL: float eps
+   fails analysis, eps <= 0 yields NULL cell keys (everything noise).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from harvester_fgp_spark.operators.cluster import dbscan, eps_neighbor_pairs
+from harvester_fgp_spark.sinks import checkpoint as CP
+from harvester_fgp_spark.plans.pipeline import mine_records
+from harvester_fgp_spark.synth import generate_polygons, pages_df
+
+
+def _records(spark):
+    return CP.with_tile_id(
+        mine_records(
+            spark, pages_df(spark, 300, seed=42), generate_polygons(60, seed=42)
+        )
+    )
+
+
+def test_mixed_schema_checkpoint_audit_stays_green(spark, tmp_path):
+    """Legacy (tokenless) lineage files next to tokened files in one dir:
+    the audit must still see commit_token on the tokened rows (mergeSchema)
+    and reduce the doubled commit away — zero discrepancies."""
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    recs = _records(spark)
+    CP.write_records_and_checkpoint(recs, out, cp, "r1")
+    # simulate a pre-upgrade writer: same lineage rows, no commit_token col
+    legacy = spark.read.parquet(cp).drop("commit_token")
+    legacy.write.mode("append").parquet(cp)
+    assert CP.verify_lineage(spark, out, cp).count() == 0
+    # and vacuum (same mergeSchema read) collapses to one commit's rows
+    n_before = spark.read.parquet(cp).count()
+    CP.vacuum_checkpoint(spark, cp)
+    n_after = (
+        spark.read.option("mergeSchema", "true").parquet(cp).count()
+    )
+    assert n_after < n_before
+    assert CP.verify_lineage(spark, out, cp).count() == 0
+
+
+def test_mixed_schema_tokens_not_dropped(spark, tmp_path):
+    """The mergeSchema read itself: tokened rows keep their token, legacy
+    rows surface as '' (coalesced), never NULL."""
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    CP.write_records_and_checkpoint(_records(spark), out, cp, "r1")
+    spark.read.parquet(cp).drop("commit_token").write.mode("append").parquet(cp)
+    got = CP._with_commit_token(CP._read_checkpoint(spark, cp))
+    assert "commit_token" in got.columns
+    toks = [r.commit_token for r in got.select("commit_token").collect()]
+    assert all(t is not None for t in toks)
+    assert any(t == "" for t in toks) and any(t != "" for t in toks)
+
+
+def test_vacuum_uri_normalization(spark, tmp_path):
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    CP.write_records_and_checkpoint(_records(spark), out, cp, "r1")
+    # Hadoop-style file:/path (single slash) must normalize, not crash
+    CP.vacuum_checkpoint(spark, f"file:{cp}")
+    assert os.path.isdir(cp)
+    assert CP.verify_lineage(spark, out, cp).count() == 0
+    # triple-slash canonical form
+    CP.vacuum_checkpoint(spark, f"file://{cp}")  # empty authority
+    CP.vacuum_checkpoint(spark, f"file:///{cp.lstrip('/')}")
+    assert CP.verify_lineage(spark, out, cp).count() == 0
+    with pytest.raises(ValueError):
+        CP.vacuum_checkpoint(spark, "s3a://bucket/cp")
+    with pytest.raises(ValueError):
+        CP.vacuum_checkpoint(spark, "hdfs://nn/cp")
+    with pytest.raises(ValueError):
+        CP.vacuum_checkpoint(spark, "file://remotehost/cp")
+
+
+def test_eps_guard(spark):
+    pts = spark.createDataFrame(
+        [(1, 0, 0), (2, 1, 1), (3, 50, 50)], "pid long, x long, y long"
+    )
+    assert eps_neighbor_pairs(pts, 2).count() == 2  # directed pair both ways
+    for bad in (2.5, 0, -3, True):
+        with pytest.raises(ValueError):
+            eps_neighbor_pairs(pts, bad)
+        with pytest.raises(ValueError):
+            dbscan(pts, eps=bad, min_pts=2)
