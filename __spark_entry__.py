@@ -883,6 +883,67 @@ def _q_polygon_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygon_tiles(polygons_df(spark, 120, seed=42), z=8)
 
 
+def _q_polygon_tiles_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NUMPY rasterizer (operators/geo.polygon_tiles ->
+    geo/tiles.rasterize_rings_to_tiles) under an EXACT tile-set oracle
+    (round 5, VERDICT r4 next-#3) — the last rasterizer blind spot.
+
+    Same derived k-gons as polygon_raster_sql (vertex lon/lat rounded to
+    6dp so trig cannot drift across engines), but fed as lon/lat RINGS to
+    the production kernel. The DuckDB twin implements the numpy kernel's
+    OWN rule longhand — the rule differs from rasterize_vertices_native's
+    in its geometry plane (edges straight in lon/lat, row spans through
+    the monotone mercator transform of the column-boundary lats; the
+    native path treats edges as straight in tile units), so the two
+    oracle entries pin both rule variants side by side on the SAME
+    polygon set. asinh/sinh are spelled as their ln/exp identities in
+    SQL (DuckDB lacks the hyperbolics); measured disagreement vs numpy
+    is < 2e-14 tile units while the nearest floor boundary on this
+    fixture is > 1e-7 away, so every tile decision is identical."""
+    import math
+
+    from harvester_fgp_spark.operators.geo import polygon_tiles
+
+    z = 7
+    i = F.col("id")
+    polys = spark.range(12).select(
+        i.alias("pid"),
+        (((i * 17) % 80).cast("double") - F.lit(110.0)).alias("cx"),
+        (((i * 7) % 30).cast("double") + F.lit(40.0)).alias("cy"),
+        (F.lit(1.5) + (i % 5).cast("double") * F.lit(0.7)).alias("r"),
+        (F.lit(5) + (i % 4)).cast("int").alias("k"),
+    )
+    v = polys.withColumn("j", F.explode(F.sequence(F.lit(0), F.col("k") - 1)))
+    theta = F.lit(2.0 * math.pi) * F.col("j") / F.col("k")
+    lon = F.round(F.col("cx") + F.col("r") * F.cos(theta), 6)
+    lat = F.round(F.col("cy") + F.lit(0.6) * F.col("r") * F.sin(theta), 6)
+    verts = v.select("pid", "j", lon.alias("x"), lat.alias("y"))
+    rings = (
+        verts.groupBy("pid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "x", "y"))),
+                lambda s: F.struct(s["x"].alias("x"), s["y"].alias("y")),
+            ).alias("ring")
+        )
+        .select(
+            F.format_string("poly%02d", F.col("pid")).alias("polygon_id"),
+            # CLOSED ring (first vertex repeated): points_in_ring pairs
+            # consecutive vertices, so an open ring would drop the
+            # closing edge
+            F.concat(F.col("ring"), F.slice(F.col("ring"), 1, 1)).alias(
+                "ring"
+            ),
+        )
+    )
+    t = polygon_tiles(rings, z=z)
+    return t.select(
+        "polygon_id",
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+    )
+
+
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 scale path: HLL approx distinct (impl-specific -> rows-only)."""
     ev = _read(spark, sf_dir, "events")
@@ -1211,6 +1272,52 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, qs, k=5)
 
 
+def _planted_ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-duplicate ANN fixture (round 5): every 10th corpus vector
+    copied verbatim under vec_id + 10000. An identical vector lands in
+    identical LSH buckets (data-independent hyperplanes) and the
+    identical IVF cell (same nearest centroids, whatever KMeans chose),
+    so BOTH approximate indexes retrieve the original deterministically;
+    cosine(copy, original) = 1.0 while the corpus's max natural pairwise
+    cosine is ~0.51, so exact re-rank puts the original at rank 1 with
+    no tie possible."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+
+
+def _q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@1 under the EXACT oracle gate (round 5, VERDICT r4
+    next-#4): the LSH index's top-1 answer for every planted-duplicate
+    query is value-checked against DuckDB's brute-force argmax — the
+    recall number itself (50/50 planted originals recovered) goes
+    through the hash gate rather than only the pytest recall floors.
+    General (non-planted) recall stays approximate by design and stays
+    under tests/test_similarity.py's floors."""
+    from harvester_fgp_spark.operators.similarity import ann_lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    res = ann_lsh_topk(emb, _planted_ann_queries(spark, sf_dir), k=3)
+    return res.filter(F.col("rank") == 1).select(
+        "q_id", F.col("c_id").alias("top1_id"), "cos_sim"
+    )
+
+
+def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@1 under the exact oracle gate (round 5) — same planted
+    fixture and DuckDB brute-force twin as ann_lsh_recall; correctness
+    is invariant to the KMeans centroids because identical vectors
+    quantize identically."""
+    from harvester_fgp_spark.operators.similarity import ann_ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    res = ann_ivf_topk(emb, _planted_ann_queries(spark, sf_dir), k=3)
+    return res.filter(F.col("rank") == 1).select(
+        "q_id", F.col("c_id").alias("top1_id"), "cos_sim"
+    )
+
+
 def _q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full E1->E2->G1->G4->G7 pipeline on synthetic pages (rows-only)."""
     from harvester_fgp_spark.plans.pipeline import mine_records, tile_summary
@@ -1328,16 +1435,26 @@ def _q_flagship_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_flagship_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _flagship_records_digest(
+    spark: SparkSession, sf_dir: str, engine: str
+) -> DataFrame:
     """RECORD-level value oracle for the flagship pipeline (round 4,
-    extending flagship_summary): runs the native engine with
+    extending flagship_summary): runs mine_records with
     keep_text=True and digests the normalized-record SCHEMA itself per
     (lang, kind) — record_id (48-bit slices of the sha2 summed: exact,
     no overflow at gate scale), the byte-stable GeoJSON ``spatial``
     string (sha2-sliced sum — %.6f of exact integer coords formats
     identically in Java and C printf), bilingual title pairing, and the
     sorted-distinct keywords serialization. The DuckDB twin rebuilds
-    every field longhand from the same integer-arithmetic pages."""
+    every field longhand from the same integer-arithmetic pages.
+
+    Parameterized over the engine (round 5): ``native`` is the
+    zero-Python path; ``fused`` is the PRODUCTION default
+    (plans/pipeline.py — single fused pandas-UDF stage). Both run
+    against the SAME DuckDB twin, so the production engine now sits
+    under a direct value oracle instead of only transitively via the
+    fused==native record-identity pytest (tests/test_native_pipeline.py).
+    """
     from harvester_fgp_spark.plans.pipeline import mine_records
 
     pages = _flagship_oracle_pages(spark, sf_dir)
@@ -1348,7 +1465,7 @@ def _q_flagship_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell_level=CELL_LEVEL,
         tile_z=TILE_Z,
         keep_text=True,
-        engine="native",
+        engine=engine,
     )
 
     def sha48(col):
@@ -1370,6 +1487,17 @@ def _q_flagship_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kw_chars"),
         F.sum(F.length("notes_en")).cast("long").alias("notes_en_chars"),
     )
+
+
+def _q_flagship_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _flagship_records_digest(spark, sf_dir, engine="native")
+
+
+def _q_flagship_records_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUSED production engine (plans/pipeline.py default) under the
+    same direct DuckDB value oracle as flagship_records (round 5,
+    VERDICT r4 next-#2)."""
+    return _flagship_records_digest(spark, sf_dir, engine="fused")
 
 
 # ---------------------------------------------------------------------------
@@ -1670,10 +1798,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keep this in the driver's 50-row window; haversine stays
         # driver-covered inside geo_knn_exact)
         "flagship_summary": _q_flagship_summary,
-        "polygon_tiles": _q_polygon_tiles,
+        # round 5: the numpy rasterizer under an exact tile-set oracle
+        # (polygon_tiles itself moved to the tail — same kernel, same
+        # rule, rows-only; the digest value-checks the rule longhand)
+        "polygon_tiles_digest": _q_polygon_tiles_digest,
         "text_token_stats": _q_text_token_stats,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
+        # round 5: ANN recall@1 on planted duplicates under the exact
+        # gate (the rows-only ann_lsh/ann_ivf top-k surfaces moved to
+        # the tail; pytest recall floors still guard general recall)
+        "ann_lsh_recall": _q_ann_lsh_recall,
+        "ann_ivf_recall": _q_ann_ivf_recall,
         "approx_distinct_users": _q_approx_distinct,
         # geospatial core
         "geo_cell_encode": _q_geo_cell_encode,
@@ -1752,6 +1886,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4: record-SCHEMA value oracle for the flagship (tail —
         # flagship_summary holds the family's driver-window slot)
         "flagship_records": _q_flagship_records,
+        # round 5 tail: the FUSED production engine under the same
+        # record-schema oracle; the rows-only originals displaced from
+        # the window by their exact-oracle upgrades
+        "flagship_records_fused": _q_flagship_records_fused,
+        "polygon_tiles": _q_polygon_tiles,
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
     }
 
 
@@ -2025,9 +2166,164 @@ def oracle_sql() -> dict[str, str]:
         FROM fields GROUP BY 1
     """
 
+    # --- polygon_tiles_digest: DuckDB longhand of the NUMPY rasterizer
+    # rule (geo/tiles.rasterize_rings_to_tiles) at z=7 over the same
+    # derived k-gons as polygon_raster_sql — edges straight in LON/LAT,
+    # row spans through the monotone mercator transform of the
+    # column-boundary lats (the native twin's edges are straight in tile
+    # units instead). asinh(t) = LN(t + SQRT(t*t + 1)),
+    # sinh(a) = (EXP(a) - EXP(-a)) / 2 (DuckDB has no hyperbolics);
+    # expression order mirrors the numpy kernel exactly.
+    def _ptx(lon: str) -> str:
+        return (
+            "GREATEST(0, LEAST(127, "
+            f"CAST(FLOOR(({lon} + 180.0) / 360.0 * 128) AS BIGINT)))"
+        )
+
+    def _pty(lat: str) -> str:
+        t = f"TAN(RADIANS({lat}))"
+        return (
+            "GREATEST(0, LEAST(127, CAST(FLOOR((1.0 - "
+            f"LN({t} + SQRT({t} * {t} + 1.0)) / PI()) / 2.0 * 128) "
+            "AS BIGINT)))"
+        )
+
+    merc_a = "(PI() * (1 - 2 * (gy + 0.5) / 128.0))"
+    polygon_tiles_digest_sql = f"""
+        WITH p AS (
+            SELECT i AS pid,
+                   CAST((i * 17) % 80 AS DOUBLE) - 110.0 AS cx,
+                   CAST((i * 7) % 30 AS DOUBLE) + 40.0 AS cy,
+                   1.5 + CAST(i % 5 AS DOUBLE) * 0.7 AS r,
+                   5 + i % 4 AS k
+            FROM range(12) t(i)
+        ),
+        v0 AS (
+            SELECT pid, k, UNNEST(range(0, k)) AS j, cx, cy, r FROM p
+        ),
+        ll AS (
+            SELECT pid, k, j,
+                   ROUND(cx + r * COS(2 * PI() * j / k), 6) AS lon,
+                   ROUND(cy + 0.6 * r * SIN(2 * PI() * j / k), 6) AS lat
+            FROM v0
+        ),
+        -- candidate grid: the tiles of the ring-bbox corners (numpy
+        -- meshgrid from the NW / SE corner tiles)
+        bbox AS (
+            SELECT pid,
+                   {_ptx('MIN(lon)')} AS gx0, {_ptx('MAX(lon)')} AS gx1,
+                   {_pty('MAX(lat)')} AS gy0, {_pty('MIN(lat)')} AS gy1
+            FROM ll GROUP BY pid
+        ),
+        cx0 AS (
+            SELECT pid, gy0, gy1, UNNEST(range(gx0, gx1 + 1)) AS gx FROM bbox
+        ),
+        cand AS (
+            SELECT pid, gx, UNNEST(range(gy0, gy1 + 1)) AS gy FROM cx0
+        ),
+        centers AS (
+            SELECT pid, gx, gy,
+                   (gx + 0.5) / 128.0 * 360.0 - 180.0 AS cxl,
+                   DEGREES(ATAN((EXP({merc_a}) - EXP(-{merc_a})) / 2))
+                       AS cyl
+            FROM cand
+        ),
+        -- PIP edges in ORIGINAL ring order (points_in_ring pairs
+        -- consecutive closed-ring vertices unoriented)
+        edges_raw AS (
+            SELECT a.pid, a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2
+            FROM ll a JOIN ll b
+              ON a.pid = b.pid AND b.j = (a.j + 1) % a.k
+        ),
+        crossings AS (
+            SELECT c.pid, c.gx, c.gy,
+                   SUM(CASE WHEN ((y1 > c.cyl) != (y2 > c.cyl))
+                             AND c.cxl <
+                                 x1 + (c.cyl - y1) * (x2 - x1) / (y2 - y1)
+                            THEN 1 ELSE 0 END) AS n_cross
+            FROM centers c JOIN edges_raw e ON c.pid = e.pid
+            GROUP BY 1, 2, 3
+        ),
+        inside AS (
+            SELECT pid, gx, gy FROM crossings WHERE n_cross % 2 = 1
+        ),
+        -- supercover edges oriented west->east (swap iff lon1 < lon0,
+        -- exactly as the kernel does)
+        edges_or AS (
+            SELECT pid,
+                   CASE WHEN x2 < x1 THEN x2 ELSE x1 END AS lon0,
+                   CASE WHEN x2 < x1 THEN y2 ELSE y1 END AS lat0,
+                   CASE WHEN x2 < x1 THEN x1 ELSE x2 END AS lon1,
+                   CASE WHEN x2 < x1 THEN y1 ELSE y2 END AS lat1
+            FROM edges_raw
+        ),
+        ecols AS (
+            SELECT pid, lon0, lat0, lon1, lat1,
+                   {_ptx('lon0')} AS ex0, {_ptx('lon1')} AS ex1,
+                   UNNEST(range({_ptx('lon0')}, {_ptx('lon1')} + 1)) AS gx
+            FROM edges_or
+        ),
+        espan AS (
+            SELECT pid, gx,
+                   CASE WHEN lon1 = lon0 THEN lat0 ELSE
+                     lat0 + ((CASE WHEN gx = ex0 THEN lon0
+                                   ELSE gx / 128.0 * 360.0 - 180.0 END)
+                             - lon0) / (lon1 - lon0) * (lat1 - lat0)
+                   END AS la_lat,
+                   CASE WHEN lon1 = lon0 THEN lat1 ELSE
+                     lat0 + ((CASE WHEN gx = ex1 THEN lon1
+                                   ELSE (gx + 1) / 128.0 * 360.0 - 180.0 END)
+                             - lon0) / (lon1 - lon0) * (lat1 - lat0)
+                   END AS lb_lat
+            FROM ecols
+        ),
+        sc AS (
+            SELECT pid, gx,
+                   UNNEST(range(
+                       LEAST({_pty('la_lat')}, {_pty('lb_lat')}),
+                       GREATEST({_pty('la_lat')}, {_pty('lb_lat')}) + 1
+                   )) AS gy
+            FROM espan
+        ),
+        tiles AS (SELECT * FROM inside UNION SELECT * FROM sc)
+        SELECT printf('poly%02d', pid) AS polygon_id,
+               gx AS tile_x, gy AS tile_y
+        FROM tiles
+    """
+
+    # --- ANN recall@1 on planted duplicates: brute-force argmax per
+    # planted copy (vec_id + 10000, same vector) — the approximate
+    # indexes must recover every original at rank 1 (cos 1.0 vs a max
+    # natural pairwise cosine of ~0.51, so no tie is possible)
+    ann_recall_sql = """
+        WITH qs AS (
+            SELECT vec_id + 10000 AS q_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id % 10 = 0
+        ),
+        sims AS (
+            SELECT q.q_id, c.vec_id AS c_id,
+                   ROUND(
+                       list_dot_product(q.q_emb::DOUBLE[], c.embedding::DOUBLE[])
+                       / (SQRT(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
+                          * SQRT(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                       6
+                   ) AS cos_sim
+            FROM qs q CROSS JOIN embeddings c
+        )
+        SELECT q_id, c_id AS top1_id, cos_sim FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC
+            ) AS rk FROM sims
+        ) WHERE rk = 1
+    """
+
     return {
         "flagship_summary": flagship_sql,
         "flagship_records": flagship_records_sql,
+        "flagship_records_fused": flagship_records_sql,
+        "polygon_tiles_digest": polygon_tiles_digest_sql,
+        "ann_lsh_recall": ann_recall_sql,
+        "ann_ivf_recall": ann_recall_sql,
         "geo_cell_encode": f"""
             WITH pts AS ({pts}),
             cells AS (
