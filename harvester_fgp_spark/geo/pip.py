@@ -11,6 +11,22 @@ Scale design: the polygon dimension is small (FGP collections ~10^2..10^4),
 so the tree rides a broadcast variable; each Python worker deserializes it
 ONCE per executor (iterator pandas UDF, SURVEY §2.11) and then answers
 millions of point queries with numpy batch ops.
+
+GEOMETRY CONTRACT (round 5 — applies to every PIP path and both
+rasterizers): ring edges are treated as STRAIGHT LINES IN LON/LAT
+(equirectangular plane), not geodesics — the standard convention for
+web-mercator tiling and for GeoJSON-style rings. Divergence from the
+great-circle edge is the chord-vs-geodesic sagitta, ~ (L^2 / 8R) *
+|tan(lat)| cross-track for an east-west edge of ground length L at
+latitude lat: ~0.2 km for a 100 km edge at 45 deg, ~5 km * tan(lat)
+for a 500 km edge (the largest a 5-deg-radius collection polygon
+produces), and identically ZERO for north-south edges (meridians are
+geodesics). Points within that band of a long high-latitude edge may
+classify differently than a geodesic-edged test would — acceptable for
+metadata-collection membership (the reference's own bbox/GeoJSON
+semantics are planar too); densify long edges at index build if a
+future use case needs geodesic edges, the even-odd rule is unchanged
+by densification.
 """
 
 from __future__ import annotations

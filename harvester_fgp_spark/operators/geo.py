@@ -542,6 +542,15 @@ def cell_boundary_dist_km(lat: Column, lon: Column, level: int) -> Column:
     four edges is bounded below by its full-parallel / full-meridian
     distance: R*|dlat| along the meridian, asin(sin(dlon)*cos(lat))
     cross-track to the meridian). All native trig — stays in codegen.
+
+    ANTIMERIDIAN (round 5): the bound stays valid at ±180 — a neighbor
+    across the dateline is reached by a geodesic that crosses the ±180
+    meridian, which IS the cell's east/west edge, so the cross-track
+    term bounds it like any other out-of-cell point
+    (tests/test_knn_dateline.py pins this). At lon == +180.0 exactly
+    the point sits ON its cell's edge and the bound degrades to <= 0 —
+    conservative, never wrong: exact kNN then simply never terminates
+    early and escalates to level 0.
     """
     n = float(1 << level)
     x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
@@ -599,6 +608,18 @@ def knn_join(
     At scale the escalation set shrinks geometrically (only queries whose
     k-th neighbor sits near a cell edge), keeping every pass an
     equi-join — never a nested loop.
+
+    DATELINE GUARANTEE (round 5): cell prefixes on opposite sides of
+    ±180 are never adjacent in Morton space, so no prefix level > 0 can
+    see a cross-dateline neighbor — but a query hugging the dateline
+    also has a tiny cell_boundary_dist_km (the ±180 meridian is its own
+    cell edge), so it cannot terminate while a closer candidate sits
+    across the line; it escalates to level 0, where the single world
+    cell joins ALL candidates. Exactness for Fiji-style layouts is
+    proven in tests/test_knn_dateline.py (approximate mode provably
+    misses the same neighbors there). Approximate mode near the
+    dateline is biased away from cross-line candidates by construction
+    — use exact=True where that matters.
 
     `rank_round` ranks on round(dist, rank_round) with cand_id tiebreak
     (matches engines that rank on rounded output, e.g. the DuckDB

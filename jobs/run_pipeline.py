@@ -76,6 +76,17 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "which object stores lack — on Iceberg use the snapshot-expiry "
         "procedure instead",
     )
+    p.add_argument(
+        "--partition-lineage", action="store_true",
+        help="lay the checkpoint table out as stage=/run_id= Hive "
+        "partitions (the 100 TB shape): vacuum then rewrites only "
+        "affected (stage, run) partitions instead of the whole table",
+    )
+    p.add_argument(
+        "--vacuum-runs", type=str, default=None, metavar="R1,R2",
+        help="with --vacuum-checkpoint on a partitioned checkpoint dir: "
+        "vacuum only these run_ids (retention hook)",
+    )
     p.add_argument("--cell-level", type=int, default=12)
     p.add_argument("--tile-z", type=int, default=8)
     p.add_argument("--snapshot-id", type=int, default=None)
@@ -148,14 +159,16 @@ def main(argv: list[str]) -> None:
         F.max("tile_id").alias("max_tile"),
     )
     C.write_records_and_checkpoint(
-        records, args.out, args.checkpoint, run_id=args.run_id
+        records, args.out, args.checkpoint, run_id=args.run_id,
+        partition_lineage=args.partition_lineage,
     )
     print("run metrics:", obs.get)
     if args.compact:
         C.compact_records(spark, args.out, target_rows_per_file=args.compact)
         print(f"compacted {args.out} (target {args.compact} rows/file)")
     if args.vacuum_checkpoint:
-        C.vacuum_checkpoint(spark, args.checkpoint)
+        runs = args.vacuum_runs.split(",") if args.vacuum_runs else None
+        C.vacuum_checkpoint(spark, args.checkpoint, runs=runs)
         print("checkpoint vacuumed:", args.checkpoint)
     if args.verify_lineage:
         bad_tiles = C.verify_lineage(spark, args.out, args.checkpoint)

@@ -85,6 +85,79 @@ def test_vacuum_uri_normalization(spark, tmp_path):
         CP.vacuum_checkpoint(spark, "file://remotehost/cp")
 
 
+def _leaf_state(d):
+    return {
+        f: os.path.getmtime(os.path.join(d, f))
+        for f in sorted(os.listdir(d))
+    }
+
+
+def test_partitioned_vacuum_touches_only_target_runs(spark, tmp_path):
+    """Round-5 scale story: a partition_lineage=True checkpoint table is
+    vacuumed per (stage, run) leaf — a runs=['r1'] vacuum must collapse
+    r1's replayed commits while r2's partition directory is not read,
+    rewritten, or even touched (same files, same mtimes)."""
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    recs = _records(spark)
+    CP.write_records_and_checkpoint(
+        recs, out, cp, "r1", partition_lineage=True
+    )
+    CP.write_records_and_checkpoint(  # replay: appends a 2nd r1 commit
+        recs, out, cp, "r1", partition_lineage=True
+    )
+    CP.write_records_and_checkpoint(
+        recs, out, cp, "r2", partition_lineage=True
+    )
+    assert CP.verify_lineage(spark, out, cp).count() == 0
+    full = spark.read.parquet(cp)
+    n_r1 = full.filter(F.col("run_id") == "r1").count()
+    n_r2 = full.filter(F.col("run_id") == "r2").count()
+    assert n_r1 == 2 * n_r2  # the replay doubled r1's lineage rows
+
+    r2_leaf = os.path.join(cp, "stage=records", "run_id=r2")
+    r2_before = _leaf_state(r2_leaf)
+    CP.vacuum_checkpoint(spark, cp, runs=["r1"])
+    assert _leaf_state(r2_leaf) == r2_before  # untouched, byte for byte
+    full = spark.read.parquet(cp)
+    assert full.filter(F.col("run_id") == "r1").count() == n_r2  # collapsed
+    assert full.filter(F.col("run_id") == "r2").count() == n_r2
+    assert CP.verify_lineage(spark, out, cp).count() == 0
+
+    # aggressive (cross-run merge) is whole-table: refused when partitioned
+    with pytest.raises(ValueError):
+        CP.vacuum_checkpoint(spark, cp, aggressive=True)
+
+
+def test_partitioned_vacuum_crash_recovery(spark, tmp_path):
+    """A crash between the two swap renames leaves the only copy of a
+    leaf under .vacuum-old-<leaf>; the next vacuum of that stage must
+    restore it before doing anything else — even when targeting other
+    runs."""
+    import shutil
+
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    CP.write_records_and_checkpoint(
+        _records(spark), out, cp, "r1", partition_lineage=True
+    )
+    CP.write_records_and_checkpoint(
+        _records(spark), out, cp, "r2", partition_lineage=True
+    )
+    spath = os.path.join(cp, "stage=records")
+    leaf = os.path.join(spath, "run_id=r1")
+    shutil.move(leaf, os.path.join(spath, ".vacuum-old-run_id=r1"))
+    # vacuum a DIFFERENT run: the sweep must still restore r1's leaf
+    CP.vacuum_checkpoint(spark, cp, runs=["r2"])
+    assert os.path.isdir(leaf)
+    assert CP.verify_lineage(spark, out, cp).count() == 0
+
+
+def test_runs_filter_requires_partitioned_dir(spark, tmp_path):
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    CP.write_records_and_checkpoint(_records(spark), out, cp, "r1")
+    with pytest.raises(ValueError):
+        CP.vacuum_checkpoint(spark, cp, runs=["r1"])
+
+
 def test_eps_guard(spark):
     pts = spark.createDataFrame(
         [(1, 0, 0), (2, 1, 1), (3, 50, 50)], "pid long, x long, y long"
