@@ -60,8 +60,18 @@ def eps_neighbor_pairs(
     # eps is interpolated into the int64 cell expression below: a float
     # fails analysis on `div`, and eps <= 0 makes pmod/div yield NULL cell
     # keys under non-ANSI mode — every point silently becomes noise
-    # (round-4 advice). Fail loudly instead.
-    if not isinstance(eps, int) or isinstance(eps, bool) or eps <= 0:
+    # (round-4 advice). Fail loudly instead. operator.index accepts any
+    # true integer type (incl. numpy int64 from array math) while
+    # rejecting floats and anything merely int-convertible.
+    import operator
+
+    if isinstance(eps, bool):
+        raise ValueError(f"eps must be a positive int, got {eps!r}")
+    try:
+        eps = operator.index(eps)
+    except TypeError:
+        raise ValueError(f"eps must be a positive int, got {eps!r}") from None
+    if eps <= 0:
         raise ValueError(f"eps must be a positive int, got {eps!r}")
     p = points.select(
         F.col(id_col).alias("_id"),

@@ -142,6 +142,34 @@ def _latest_commits(cp: DataFrame, keys: list[str]) -> DataFrame:
     return tagged.join(latest, [*keys, "_cmt"], "left_semi").drop("_cmt")
 
 
+def _check_lineage_layout(checkpoint_dir: str, partition_lineage: bool) -> None:
+    """A checkpoint dir must be flat or partitioned from its first write
+    — Spark cannot read a mix (conflicting directory structures), and
+    vacuum's layout detection would then strand the flat files forever.
+    Enforced here rather than by docstring (round-5 review): appending
+    the wrong layout corrupts the table silently until the next read."""
+    import os
+
+    try:
+        path = _local_path(checkpoint_dir)
+    except ValueError:
+        return  # non-local URI: not inspectable here (Iceberg seam)
+    if not os.path.isdir(path):
+        return
+    entries = [e for e in os.listdir(path) if not e.startswith((".", "_"))]
+    if not entries:
+        return
+    existing_partitioned = any(e.startswith("stage=") for e in entries)
+    if existing_partitioned != partition_lineage:
+        have = "partitioned" if existing_partitioned else "flat"
+        want = "partitioned" if partition_lineage else "flat"
+        raise ValueError(
+            f"checkpoint dir {checkpoint_dir!r} is {have} but this write "
+            f"is {want}: a lineage table must keep one layout from its "
+            "first write (mixing breaks spark.read.parquet and vacuum)"
+        )
+
+
 def write_records_and_checkpoint(
     records: DataFrame,
     out_dir: str,
@@ -171,6 +199,7 @@ def write_records_and_checkpoint(
     write — Spark cannot read a mix.
     """
     spark = records.sparkSession
+    _check_lineage_layout(checkpoint_dir, partition_lineage)
     tiled = with_tile_id(records).persist()
     try:
         with _overwrite_mode_dynamic(spark):
@@ -203,6 +232,7 @@ def write_stream_batch(
     previous partial output and never another batch's rows.
     """
     spark = records.sparkSession
+    _check_lineage_layout(checkpoint_dir, partition_lineage)
     tiled = (
         with_tile_id(records)
         .withColumn("batch_id", F.lit(batch_id).cast("long"))
@@ -473,6 +503,8 @@ def vacuum_checkpoint(
                 "aggressive vacuum merges commits across run_ids (whole-"
                 "table); not supported on a partitioned checkpoint dir"
             )
+        wanted = set(runs) if runs is not None else None
+        matched: set = set()
         for sd in sorted(os.listdir(checkpoint_dir)):
             if not sd.startswith("stage="):
                 continue
@@ -495,10 +527,16 @@ def vacuum_checkpoint(
             for rd in sorted(os.listdir(spath)):
                 if not rd.startswith("run_id="):
                     continue
-                if runs is not None and rd.removeprefix(
-                    "run_id="
-                ) not in set(runs):
+                # dir names are Hive-ESCAPED (':' -> '%3A' etc., the
+                # partition-path convention) — unquote before comparing
+                # raw run_ids (round-5 review: the raw comparison made
+                # runs=['2026-08-17T10:00'] a silent no-op)
+                from urllib.parse import unquote
+
+                run_val = unquote(rd.removeprefix("run_id="))
+                if wanted is not None and run_val not in wanted:
                     continue
+                matched.add(run_val)
                 # stage/run_id are constant within the leaf (encoded in
                 # the dir name, absent from the files): latest commit
                 # per tile IS the default (stage, run, tile) grain
@@ -509,6 +547,12 @@ def vacuum_checkpoint(
                     os.path.join(spath, f".vacuum-tmp-{rd}"),
                     os.path.join(spath, f".vacuum-old-{rd}"),
                 )
+        if wanted is not None and wanted - matched:
+            raise ValueError(
+                "vacuum runs= matched no partition for: "
+                f"{sorted(wanted - matched)} (typo, or the run has no "
+                "commits in this checkpoint dir)"
+            )
         return
     if runs is not None:
         raise ValueError(

@@ -167,7 +167,13 @@ def main(argv: list[str]) -> None:
         C.compact_records(spark, args.out, target_rows_per_file=args.compact)
         print(f"compacted {args.out} (target {args.compact} rows/file)")
     if args.vacuum_checkpoint:
-        runs = args.vacuum_runs.split(",") if args.vacuum_runs else None
+        # strip per element: "--vacuum-runs 'r1, r2'" is the natural CLI
+        # spelling, and an unstripped ' r2' would match no partition
+        runs = (
+            [r.strip() for r in args.vacuum_runs.split(",") if r.strip()]
+            if args.vacuum_runs
+            else None
+        )
         C.vacuum_checkpoint(spark, args.checkpoint, runs=runs)
         print("checkpoint vacuumed:", args.checkpoint)
     if args.verify_lineage:

@@ -159,12 +159,58 @@ def test_runs_filter_requires_partitioned_dir(spark, tmp_path):
 
 
 def test_eps_guard(spark):
+    import numpy as np
+
     pts = spark.createDataFrame(
         [(1, 0, 0), (2, 1, 1), (3, 50, 50)], "pid long, x long, y long"
     )
     assert eps_neighbor_pairs(pts, 2).count() == 2  # directed pair both ways
-    for bad in (2.5, 0, -3, True):
+    # numpy integers (array math results) are true integers — accepted
+    assert eps_neighbor_pairs(pts, np.int64(2)).count() == 2
+    for bad in (2.5, 0, -3, True, np.float64(2.0)):
         with pytest.raises(ValueError):
             eps_neighbor_pairs(pts, bad)
         with pytest.raises(ValueError):
             dbscan(pts, eps=bad, min_pts=2)
+
+
+def test_vacuum_runs_with_hive_escaped_run_id(spark, tmp_path):
+    """run_ids with partition-path special chars (':') are Hive-escaped
+    in directory names; runs= must still target them (round-5 review:
+    the raw comparison made such a vacuum a silent no-op), and an
+    unmatched run_id must raise instead of silently skipping."""
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    rid = "2026-08-17T10:00"
+    recs = _records(spark)
+    CP.write_records_and_checkpoint(
+        recs, out, cp, rid, partition_lineage=True
+    )
+    CP.write_records_and_checkpoint(  # replay
+        recs, out, cp, rid, partition_lineage=True
+    )
+    n2 = spark.read.parquet(cp).count()
+    CP.vacuum_checkpoint(spark, cp, runs=[rid])
+    assert spark.read.parquet(cp).count() == n2 // 2  # actually vacuumed
+    assert CP.verify_lineage(spark, out, cp).count() == 0
+    with pytest.raises(ValueError, match="matched no partition"):
+        CP.vacuum_checkpoint(spark, cp, runs=["no-such-run"])
+
+
+def test_mixed_lineage_layout_refused(spark, tmp_path):
+    """Appending the other layout into an existing checkpoint dir would
+    corrupt it for every future read — the writers must refuse."""
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    recs = _records(spark)
+    CP.write_records_and_checkpoint(recs, out, cp, "r1")  # flat
+    with pytest.raises(ValueError, match="flat"):
+        CP.write_records_and_checkpoint(
+            recs, out, cp, "r2", partition_lineage=True
+        )
+    out2, cp2 = str(tmp_path / "out2"), str(tmp_path / "cp2")
+    CP.write_records_and_checkpoint(
+        recs, out2, cp2, "r1", partition_lineage=True
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        CP.write_records_and_checkpoint(recs, out2, cp2, "r2")
+    with pytest.raises(ValueError, match="partitioned"):
+        CP.write_stream_batch(recs, out2, cp2, "r2", batch_id=0)
