@@ -1231,6 +1231,37 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_buckets(docs, id_col="doc_id")
 
 
+def _q_dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with an EXACT value oracle (round 5 — the
+    simhash twin of dedup_minhash_verify, same fixture, same DuckDB
+    brute-force gram-Jaccard longhand): planted exact copies have
+    identical simhashes, so every band collides (recall 1.0 on them,
+    guaranteed); the corpus's natural >= 0.9 pairs sit at J >= 0.95
+    where near-identical gram sets leave the Hamming banding at most a
+    few flipped bits, and the 8x8-bit banding is observed to catch every
+    one — 4x16 missed 4 of the 328 pairs, 8 bands of 8 bits need all
+    eight aligned bytes hit to miss (the verify stage then filters
+    EXACTLY on gram Jaccard, making the result set equal to the
+    brute-force join's)."""
+    from harvester_fgp_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 300)
+            & F.col("text").isNotNull()
+            & (F.length("text") > 0)
+        )
+        .select("doc_id", "text")
+    )
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 10000)
+    )
+    return simhash_near_dup_pairs(
+        corpus, id_col="doc_id", threshold=0.9, band_bits=8
+    )
+
+
 def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lang-ID + quality + token kernels, oracle-EXACT (round 2): the
     DuckDB twin re-derives detect_lang and quality_score longhand in SQL
@@ -1842,7 +1873,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (dedup_ngram moved to the tail — minhash_verify subsumes its
         # gram-Jaccard construction AND exercises the banding plumbing)
         "dedup_minhash_verify": _q_dedup_minhash_verify,
-        "dedup_simhash": _q_dedup_simhash,
+        # round 5: the simhash family's exact-verified member takes the
+        # window slot; the rows-only bucket surface moves to the tail
+        "dedup_simhash_verify": _q_dedup_simhash_verify,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_spans": _q_dedup_spans,
         "corpus_clean": _q_corpus_clean,
@@ -1893,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_tiles": _q_polygon_tiles,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "dedup_simhash": _q_dedup_simhash,
     }
 
 
@@ -2894,6 +2928,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_minhash_verify": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id < 300 AND text IS NOT NULL AND len(text) > 0
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id, text FROM documents
+                WHERE doc_id < 300 AND text IS NOT NULL AND len(text) > 0
+            ),
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ws[i:i+2], ' ') AS gram
+                FROM w, UNNEST(range(1, GREATEST(len(ws) - 2, 1) + 1)) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       COUNT(*) AS n_inter
+                FROM g a JOIN g b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.9
+        """,
+        "dedup_simhash_verify": r"""
             WITH corpus AS (
                 SELECT doc_id, text FROM documents
                 WHERE doc_id < 300 AND text IS NOT NULL AND len(text) > 0

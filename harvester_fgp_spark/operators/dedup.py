@@ -245,6 +245,24 @@ def minhash_near_dup_pairs(
         .agg(F.collect_list(F.col(id_col)).alias("_ids"))
         .filter(F.size("_ids") > 1)
     )
+    return _verify_bucket_pairs(
+        docs, buckets, id_col, text_col, threshold, broadcast_candidates
+    )
+
+
+def _verify_bucket_pairs(
+    docs: DataFrame,
+    buckets: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    broadcast_candidates: bool,
+) -> DataFrame:
+    """Shared LSH tail (round 5, extracted from minhash_near_dup_pairs
+    for the simhash path): bucket id-lists -> native pair expansion ->
+    one broadcast join to fetch candidate texts -> exact gram-Jaccard
+    verify. ``buckets`` must carry an ``_ids`` array column with > 1
+    entries per row; every other column is ignored."""
     pair = F.filter(
         F.flatten(
             F.transform(
@@ -622,6 +640,46 @@ def simhash_buckets(
     return sig.select(
         id_col, "simhash", F.explode(F.array(*bands)).alias("bb")
     ).select(id_col, "simhash", "bb.band", "bb.bucket")
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    band_bits: int = 16,
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """SimHash-banded near-dup pairs with the EXACT gram-Jaccard verify
+    stage (round 5) — the simhash twin of minhash_near_dup_pairs, same
+    single-evaluation plan shape: signature computed once, candidates
+    from a groupBy on the compact (band, bucket) key + native pair
+    expansion (never a self-join), one broadcast text fetch, exact
+    verify. Output is identical to the brute-force Jaccard join WHEN the
+    banding's recall reaches every >= threshold pair — guaranteed for
+    exact duplicates (identical text -> identical simhash -> all bands
+    collide) and a measured property for naturals on a given corpus
+    (candidates differ from minhash LSH: Hamming-banding vs
+    permutation-banding).
+
+    Empty/null docs are dropped up front for the same reason band_table
+    drops them: they all simhash to 0, so a corpus with 100k
+    extraction-failed docs would put every one of them in bucket 0 of
+    every band — a quadratic pair explosion inside single collect_list
+    rows — and then report them as jaccard-1.0 "duplicates".
+    """
+    nonempty = docs.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    )
+    sb = simhash_buckets(nonempty, id_col, text_col, band_bits)
+    buckets = (
+        sb.groupBy("band", "bucket")
+        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    return _verify_bucket_pairs(
+        docs, buckets, id_col, text_col, threshold, broadcast_candidates
+    )
 
 
 def ngram_jaccard_pairs(

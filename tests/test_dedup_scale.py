@@ -51,6 +51,51 @@ def test_minhash_finds_planted_near_dups(spark):
         assert (i, 1000 + i) in pairs, f"planted pair {i} missed: {pairs}"
 
 
+def test_simhash_near_dup_pairs_parity_and_planted(spark):
+    """Round 5: the simhash-banded verify path — planted near-dups are
+    recovered, empty/null docs never pair, and the verified result set
+    equals the brute-force exact n-gram Jaccard join on this corpus
+    (the recall property the dedup_simhash_verify oracle rests on)."""
+    from harvester_fgp_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [
+        " ".join(rng.choice(vocab, size=40).tolist()) for _ in range(60)
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    for i in range(5):  # exact copies: identical simhash, all bands hit
+        rows.append({"doc_id": 1000 + i, "text": texts[i]})
+    for i in range(5, 10):  # near-dups: one word changed
+        words = texts[i].split()
+        words[3] = "CHANGED"
+        rows.append({"doc_id": 1000 + i, "text": " ".join(words)})
+    rows.append({"doc_id": 5000, "text": ""})
+    rows.append({"doc_id": 5001, "text": None})
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows).astype({"text": "object"})
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(
+            docs, threshold=0.7, band_bits=8
+        ).collect()
+    }
+    for i in range(10):
+        assert (i, 1000 + i) in got, f"planted pair {i} missed"
+    assert not any(5000 in p or 5001 in p for p in got)
+    brute = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs.filter(F.length("text") > 0), threshold=0.7
+        ).collect()
+    }
+    assert got == brute
+
+
 def _brute_pairs(spark, emb, threshold):
     from harvester_fgp_spark.operators.similarity import _dot
 
