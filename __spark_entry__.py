@@ -1061,6 +1061,56 @@ def _q_stats_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 RANGE frame (round 5): per-user rolling 1-hour value sum over
+    EVENT TIME — rangeBetween slides by the order VALUE (microsecond
+    epoch), the frame kind the rows-frame family doesn't exercise, and
+    peers with equal timestamps share a frame identically in both
+    engines (that's the RANGE spec, so ties cannot diverge). DECIMAL
+    cents keep every sum exact; the per-user digest sums the rolling
+    values as integer cents."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    roll_cents = (
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w) * 100
+    ).cast("long")
+    return (
+        ev.select("user_id", roll_cents.alias("rc"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("rc").alias("sum_roll_cents"),
+        )
+    )
+
+
+def _q_stats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated multi-quantile (round 5): Spark `percentile`
+    with an array of ps and DuckDB `quantile_cont` share the (n-1)p
+    linear-interpolation definition. l_quantity is integral, so the
+    quartiles are exact multiples of 0.25 — scaling to integer
+    hundredths and stringifying the list (the driver canonicalizer
+    cannot hash arrays) makes the match bit-exact."""
+    li = _read(spark, sf_dir, "lineitem")
+    q = F.percentile(
+        F.col("l_quantity"),
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.concat_ws(
+            ",",
+            F.transform(q, lambda v: F.round(v * 100).cast("long")),
+        ).alias("quartiles_x100"),
+    )
+
+
 def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (web-corpus dedup key): messy URLs are
     constructed deterministically from doc_id IN BOTH ENGINES (driver
@@ -1927,6 +1977,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "dedup_simhash": _q_dedup_simhash,
+        # round 5 breadth: RANGE frames (value-sliding, vs the rows
+        # frames the family already covers) and exact multi-quantiles
+        "window_range_frame": _q_window_range_frame,
+        "stats_quantiles": _q_stats_quantiles,
     }
 
 
@@ -3119,6 +3173,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sha256(scrubbed) AS scrubbed_sha,
                    CAST(length(scrubbed) AS BIGINT) AS scrubbed_len
             FROM s
+        """,
+        "window_range_frame": """
+            WITH d AS (
+                SELECT user_id,
+                       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                           RANGE BETWEEN 3600000000 PRECEDING
+                                     AND CURRENT ROW
+                       ) * 100 AS BIGINT) AS rc
+                FROM events
+            )
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(SUM(rc) AS BIGINT) AS sum_roll_cents
+            FROM d GROUP BY user_id
+        """,
+        "stats_quantiles": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   array_to_string(
+                       list_transform(
+                           quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+                           v -> CAST(ROUND(v * 100) AS BIGINT)
+                       ), ',') AS quartiles_x100
+            FROM lineitem GROUP BY l_returnflag
         """,
         "stats_median": """
             SELECT l_returnflag, COUNT(*) AS n,

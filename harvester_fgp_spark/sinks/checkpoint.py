@@ -333,11 +333,26 @@ def completed_tiles(spark: SparkSession, checkpoint_dir: str, stage: str = "reco
 
 
 def resume_filter(
-    pending: DataFrame, spark: SparkSession, checkpoint_dir: str, stage: str = "records"
+    pending: DataFrame,
+    spark: SparkSession,
+    checkpoint_dir: str,
+    stage: str = "records",
+    broadcast_done: bool = True,
 ) -> DataFrame:
-    """S6: drop tiles already committed (broadcast left-anti join)."""
+    """S6: drop tiles already committed (left-anti join on tile_id).
+
+    ``broadcast_done=True`` (default) force-broadcasts the completed-tile
+    set — right for the common resume case (up to ~10^7 distinct 8-byte
+    tile ids ≈ tens of MB). For a checkpoint spanning ~10^8+ tiles pass
+    False: the anti-join then plans as a shuffled join on tile_id (AQE
+    may still downgrade to broadcast at runtime if the set turns out
+    small), instead of materializing the whole set on the driver
+    (round 5 — same guarded-broadcast contract as knn_join and
+    minhash_near_dup_pairs)."""
     done = completed_tiles(spark, checkpoint_dir, stage)
-    return pending.join(F.broadcast(done), "tile_id", "left_anti")
+    if broadcast_done:
+        done = F.broadcast(done)
+    return pending.join(done, "tile_id", "left_anti")
 
 
 def compact_records(
