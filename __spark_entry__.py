@@ -1246,6 +1246,60 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(docs.unionByName(dup), id_col="doc_id")
 
 
+def _verify_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for BOTH LSH verify oracles (minhash round 4,
+    simhash round 5): documents doc_id < 300, nonnull/nonempty, plus
+    planted exact copies at +10000 — one definition so the two oracles
+    cannot drift (round-5 review)."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 300)
+            & F.col("text").isNotNull()
+            & (F.length("text") > 0)
+        )
+        .select("doc_id", "text")
+    )
+    return docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 10000)
+    )
+
+
+# DuckDB brute-force gram-Jaccard longhand over _verify_corpus — the
+# single ground truth BOTH banded near-dup paths (minhash AND simhash)
+# must reproduce exactly; shared so a change to the gram construction or
+# the corpus filter cannot desynchronize the two oracles.
+_VERIFY_JACCARD_SQL = r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id < 300 AND text IS NOT NULL AND len(text) > 0
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text FROM documents
+        WHERE doc_id < 300 AND text IS NOT NULL AND len(text) > 0
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+    g AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(ws[i:i+2], ' ') AS gram
+        FROM w, UNNEST(range(1, GREATEST(len(ws) - 2, 1) + 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               COUNT(*) AS n_inter
+        FROM g a JOIN g b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.9
+"""
+
+
 def _q_dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup with an EXACT value oracle (round 4, VERDICT
     r3 stretch-#7): the signature itself is non-SQL, but the VERIFIED
@@ -1259,19 +1313,9 @@ def _q_dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams are an injective stand-in for string grams)."""
     from harvester_fgp_spark.operators.dedup import minhash_near_dup_pairs
 
-    docs = (
-        _read(spark, sf_dir, "documents")
-        .filter(
-            (F.col("doc_id") < 300)
-            & F.col("text").isNotNull()
-            & (F.length("text") > 0)
-        )
-        .select("doc_id", "text")
+    return minhash_near_dup_pairs(
+        _verify_corpus(spark, sf_dir), id_col="doc_id", threshold=0.9
     )
-    corpus = docs.unionByName(
-        docs.withColumn("doc_id", F.col("doc_id") + 10000)
-    )
-    return minhash_near_dup_pairs(corpus, id_col="doc_id", threshold=0.9)
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1295,20 +1339,11 @@ def _q_dedup_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force join's)."""
     from harvester_fgp_spark.operators.dedup import simhash_near_dup_pairs
 
-    docs = (
-        _read(spark, sf_dir, "documents")
-        .filter(
-            (F.col("doc_id") < 300)
-            & F.col("text").isNotNull()
-            & (F.length("text") > 0)
-        )
-        .select("doc_id", "text")
-    )
-    corpus = docs.unionByName(
-        docs.withColumn("doc_id", F.col("doc_id") + 10000)
-    )
     return simhash_near_dup_pairs(
-        corpus, id_col="doc_id", threshold=0.9, band_bits=8
+        _verify_corpus(spark, sf_dir),
+        id_col="doc_id",
+        threshold=0.9,
+        band_bits=8,
     )
 
 
@@ -2981,64 +3016,9 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha
             FROM documents
         """,
-        "dedup_minhash_verify": r"""
-            WITH corpus AS (
-                SELECT doc_id, text FROM documents
-                WHERE doc_id < 300 AND text IS NOT NULL AND len(text) > 0
-                UNION ALL
-                SELECT doc_id + 10000 AS doc_id, text FROM documents
-                WHERE doc_id < 300 AND text IS NOT NULL AND len(text) > 0
-            ),
-            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
-            g AS (
-                SELECT DISTINCT doc_id,
-                       array_to_string(ws[i:i+2], ' ') AS gram
-                FROM w, UNNEST(range(1, GREATEST(len(ws) - 2, 1) + 1)) AS t(i)
-            ),
-            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       COUNT(*) AS n_inter
-                FROM g a JOIN g b
-                  ON a.gram = b.gram AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
-            SELECT id_a, id_b,
-                   ROUND(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.9
-        """,
-        "dedup_simhash_verify": r"""
-            WITH corpus AS (
-                SELECT doc_id, text FROM documents
-                WHERE doc_id < 300 AND text IS NOT NULL AND len(text) > 0
-                UNION ALL
-                SELECT doc_id + 10000 AS doc_id, text FROM documents
-                WHERE doc_id < 300 AND text IS NOT NULL AND len(text) > 0
-            ),
-            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
-            g AS (
-                SELECT DISTINCT doc_id,
-                       array_to_string(ws[i:i+2], ' ') AS gram
-                FROM w, UNNEST(range(1, GREATEST(len(ws) - 2, 1) + 1)) AS t(i)
-            ),
-            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       COUNT(*) AS n_inter
-                FROM g a JOIN g b
-                  ON a.gram = b.gram AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
-            SELECT id_a, id_b,
-                   ROUND(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.9
-        """,
+        # ONE brute-force ground truth for both banded near-dup paths
+        "dedup_minhash_verify": _VERIFY_JACCARD_SQL,
+        "dedup_simhash_verify": _VERIFY_JACCARD_SQL,
         "dedup_ngram": r"""
             WITH corpus AS (
                 SELECT doc_id, text FROM documents WHERE doc_id < 100
