@@ -197,6 +197,17 @@ def write_records_and_checkpoint(
     identical (partition columns are recovered from the directory
     names). A checkpoint dir must be flat or partitioned from its first
     write — Spark cannot read a mix.
+
+    Directory-count note (measured round 5): the RECORD sink's
+    tile-grain ``partitionBy(tile_id)`` means an 8M-page run at z=8
+    writes tens of thousands of partition directories (~4 GB output) —
+    fine on HDFS/object stores, slow on a single local disk. That
+    fan-out is the price of tile-grain idempotent overwrite and is
+    exactly what ``compact_records`` and, in production, the Iceberg
+    table (partition transforms + rewrite_data_files, see
+    sources/tables.py) exist to manage; coarsening the partition key
+    would widen the overwrite blast radius and silently break
+    tile-grain replay, so it is deliberately NOT offered as a knob.
     """
     spark = records.sparkSession
     _check_lineage_layout(checkpoint_dir, partition_lineage)
