@@ -51,6 +51,21 @@ def test_minhash_finds_planted_near_dups(spark):
         assert (i, 1000 + i) in pairs, f"planted pair {i} missed: {pairs}"
 
 
+def test_simhash_buckets_carry_no_text(spark):
+    """The simhash candidate shuffle moves (id, simhash, band, bucket)
+    — fixed-width, like band_table: text never crosses the LSH shuffle
+    at 100 TB."""
+    from harvester_fgp_spark.operators.dedup import simhash_buckets
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d", "a b c e"]})
+    )
+    sb = simhash_buckets(docs)
+    types = {f.name: f.dataType.simpleString() for f in sb.schema.fields}
+    assert "string" not in set(types.values()), types
+    assert set(types) == {"doc_id", "simhash", "band", "bucket"}
+
+
 def test_simhash_near_dup_pairs_parity_and_planted(spark):
     """Round 5: the simhash-banded verify path — planted near-dups are
     recovered, empty/null docs never pair, and the verified result set
