@@ -732,6 +732,34 @@ def _q_sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_near_dup_pairs(emb, threshold=0.42)
 
 
+def _q_sim_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERING E2E (round 5): exact chord-bound
+    cosine pairs (sim_near_dup's operator) -> connected components (the
+    contraction loop) — the "keep one document per cluster" step over
+    the EMBEDDING near-dup graph, composing two already-oracled
+    operators into the pipeline shape a dedup run actually executes.
+    Planted copies (vec_id + 10000) guarantee multi-member clusters;
+    the DuckDB twin re-derives the identical pair set all-pairs and
+    closes it with a recursive CTE."""
+    from harvester_fgp_spark.operators.dedup import connected_components
+    from harvester_fgp_spark.operators.similarity import exact_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + 10000)
+    )
+    edges = exact_near_dup_pairs(corpus, threshold=0.42).select(
+        F.col("ia").alias("id_a"), F.col("ib").alias("id_b")
+    )
+    cc = connected_components(
+        corpus.select(F.col("vec_id").alias("doc_id")), edges
+    )
+    return cc.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum("doc_id").alias("sum_members"),
+    )
+
+
 def _q_salted_join_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 exposed: salted hot-key join; result provably equals plain join."""
     from harvester_fgp_spark.operators.joins import salted_join
@@ -2013,9 +2041,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "dedup_simhash": _q_dedup_simhash,
         # round 5 breadth: RANGE frames (value-sliding, vs the rows
-        # frames the family already covers) and exact multi-quantiles
+        # frames the family already covers), exact multi-quantiles, and
+        # the embedding near-dup clustering composite
         "window_range_frame": _q_window_range_frame,
         "stats_quantiles": _q_stats_quantiles,
+        "sim_clusters": _q_sim_clusters,
     }
 
 
@@ -2938,6 +2968,36 @@ def oracle_sql() -> dict[str, str]:
                           * SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
                        6
                    ) >= 0.42
+        """,
+        "sim_clusters": """
+            WITH RECURSIVE corpus AS (
+                SELECT vec_id AS doc_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000 AS doc_id, embedding FROM embeddings
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
+                WHERE ROUND(
+                    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                    / (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                       * SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                    6
+                ) >= 0.42
+            ),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+                SELECT doc_id AS v, doc_id AS r FROM corpus
+                UNION
+                SELECT e.v, reach.r FROM edges e JOIN reach ON reach.v = e.u
+            ),
+            cc AS (SELECT v, MIN(r) AS cluster_id FROM reach GROUP BY v)
+            SELECT cluster_id, COUNT(*) AS n_members,
+                   CAST(SUM(v) AS BIGINT) AS sum_members
+            FROM cc GROUP BY cluster_id
         """,
         "salted_join_users": """
             WITH dim AS (
