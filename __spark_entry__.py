@@ -980,6 +980,56 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 approximation QUALITY under the exact gate (round 6, the
+    ann_lsh_recall pattern applied to HLL): the HLL estimate itself is
+    impl-specific and unhashable, but its relative-error BOUND is a
+    checkable value. Spark computes the real approx_count_distinct AND
+    the exact distinct in one aggregation pass, then emits
+    ``within_bound = |approx - exact| <= 0.05 * exact`` — deterministic
+    for a fixed fixture (HLL is deterministic given the same rows), so
+    DuckDB recomputes the exact side and asserts the literal bound.
+    rsd=0.01 makes the 5% acceptance a wide margin, not a coin flip."""
+    ev = _read(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", 0.01)
+    exact = F.count_distinct("user_id")
+    return ev.groupBy("event_type").agg(
+        exact.cast("long").alias("exact_users"),
+        (F.abs(approx - exact) <= 0.05 * exact)
+        .cast("long")
+        .alias("within_bound"),
+    )
+
+
+def _q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 streaming family's driver-gate row (round 6): Spark's native
+    ``session_window`` operator executed in BATCH mode — the EXACT plan
+    streaming/pipeline.sessionize_windows runs under a watermark
+    (tests/test_streaming.py proves stream≡batch for it), so gating the
+    batch execution gates the streaming operator's windowing semantics.
+    Boundary rule (measured): events exactly gap apart MERGE; a session
+    ends at last_ts + gap. Outputs epoch-microsecond longs for exact
+    hashing; the DuckDB twin reconstructs sessions with the lag-gap
+    island method using the same strict-> split."""
+    from harvester_fgp_spark.streaming.pipeline import sessionize_windows
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts")
+    s = sessionize_windows(
+        ev, gap="30 minutes", streaming=False, ts_col="ts", key_col="user_id"
+    )
+    return s.select(
+        "user_id",
+        # parquet ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the
+        # cast to instant is exact (same idiom as sessionize_events)
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+            "start_us"
+        ),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard pairs; oracle-exact — the Spark side hashes grams
     (xxhash64) only as a compact join key, so distinct-gram set algebra
@@ -1952,7 +2002,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the tail; pytest recall floors still guard general recall)
         "ann_lsh_recall": _q_ann_lsh_recall,
         "ann_ivf_recall": _q_ann_ivf_recall,
-        "approx_distinct_users": _q_approx_distinct,
+        # round 6: the HLL error BOUND under the exact gate (the rows-
+        # only estimate surface approx_distinct_users moves to the tail
+        # — same aggregation, now with its quality hash-checked)
+        "approx_distinct_bound": _q_approx_distinct_bound,
+        # round 6: the streaming family's first driver-gate row — the
+        # native session_window plan executed in batch mode (stream ≡
+        # batch proven by tests/test_streaming.py) vs a DuckDB gap-
+        # reconstruction oracle. Takes string_distance's slot (string-
+        # function family keeps url_canonical/pii_scrub/corpus_clean/
+        # vocab_map in-window; levenshtein breadth moves to the tail).
+        "session_window_batch": _q_session_window_batch,
         # geospatial core
         "geo_cell_encode": _q_geo_cell_encode,
         "geo_tile_assign": _q_geo_tile_assign,
@@ -2001,9 +2061,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "bitwise_agg_events": _q_bitwise_aggs,
         "sessionize_events": _q_sessionize,
-        "string_distance": _q_string_distance,
         "text_analysis": _q_text_analysis,
         # --- tail: redundant-family variants, r02-green, local-gate-only ---
+        # round 6 rotations: string_distance (string-fn breadth, exact,
+        # r02-green) and approx_distinct_users (rows-only estimate; its
+        # quality row approx_distinct_bound holds the window slot)
+        "string_distance": _q_string_distance,
+        "approx_distinct_users": _q_approx_distinct,
         "text_tokens": _q_text_tokens,
         "multimodal_binary": _q_multimodal_binary,
         "stats_median": _q_stats_median,
@@ -3181,6 +3245,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT)
                        AS duration_us
             FROM s GROUP BY 1, 2
+        """,
+        "session_window_batch": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap_us
+                FROM events
+            ),
+            s AS (
+                -- session_window merge rule (measured round 6): exactly
+                -- gap apart MERGES; new session only when STRICTLY >
+                SELECT user_id, ts,
+                       SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                                THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS session_id
+                FROM g
+            )
+            SELECT user_id,
+                   CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us,
+                   -- session end = last event ts + gap
+                   CAST(MAX(epoch_us(ts)) + 1800000000 AS BIGINT) AS end_us,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, session_id
+        """,
+        "approx_distinct_bound": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   CAST(1 AS BIGINT) AS within_bound
+            FROM events GROUP BY event_type
         """,
         "bitwise_agg_events": """
             SELECT event_type,

@@ -237,22 +237,34 @@ def sessionize_windows(
     gap: str = "30 minutes",
     watermark: str = "1 hour",
     streaming: bool = True,
+    ts_col: str = "warc_ts",
+    key_col: str = "url",
 ) -> DataFrame:
-    """Per-url session windows via Spark's native dynamic-gap
+    """Per-key session windows via Spark's native dynamic-gap
     ``session_window`` — the streaming twin of the batch lag/running-sum
     sessionizer (__spark_entry__ sessionize_events). A session closes
-    once the watermark passes its end + gap, so state per url is one
+    once the watermark passes its end + gap, so state per key is one
     open window, not event history. The SAME plan runs in batch
     (streaming=False drops the watermark, which batch ignores anyway) —
-    the identity test runs both and compares."""
-    src = pages.withWatermark("warc_ts", watermark) if streaming else pages
+    the identity test runs both and compares, and the batch execution is
+    driver-gated against a DuckDB gap-reconstruction oracle
+    (__spark_entry__ session_window_batch).
+
+    Merge semantics (measured, round 6): two events exactly ``gap``
+    apart MERGE — a new session starts only when the inter-event delta
+    is STRICTLY greater than the gap; session end = last event ts + gap.
+    The oracle encodes the same rule (``gap_us > gap``, ``MAX(ts)+gap``).
+
+    ``ts_col``/``key_col`` default to the page-stream schema; the batch
+    gate runs the identical plan over the events table (ts, user_id)."""
+    src = pages.withWatermark(ts_col, watermark) if streaming else pages
     return (
         src.groupBy(
-            F.session_window("warc_ts", gap).alias("w"), "url"
+            F.session_window(ts_col, gap).alias("w"), key_col
         )
         .agg(F.count("*").alias("n_events"))
         .select(
-            "url",
+            key_col,
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "n_events",
