@@ -213,7 +213,7 @@ def minhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
-    broadcast_candidates: bool = True,
+    broadcast_candidates: "bool | None" = None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with verified shingle-Jaccard >= threshold.
 
@@ -250,19 +250,47 @@ def minhash_near_dup_pairs(
     )
 
 
+#: Auto mode (broadcast_candidates=None) broadcasts the candidate set
+#: only below this many bucket pairs: 500k pairs explode to 1M
+#: (id_a, id_b, _id) rows (~50 B each serialized, ≈50 MB) — comfortably
+#: inside executor/driver broadcast budgets; above it the text-fetch
+#: join plans shuffled and AQE owns the final strategy.
+MAX_BROADCAST_PAIRS = 500_000
+
+
 def _verify_bucket_pairs(
     docs: DataFrame,
     buckets: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float,
-    broadcast_candidates: bool,
+    broadcast_candidates: "bool | None",
 ) -> DataFrame:
     """Shared LSH tail (round 5, extracted from minhash_near_dup_pairs
     for the simhash path): bucket id-lists -> native pair expansion ->
     one broadcast join to fetch candidate texts -> exact gram-Jaccard
     verify. ``buckets`` must carry an ``_ids`` array column with > 1
-    entries per row; every other column is ignored."""
+    entries per row; every other column is ignored.
+
+    ``broadcast_candidates=None`` (the default since round 6) AUTO-SIZES
+    the decision instead of making the caller know their corpus's dup
+    density up front (round-5 watch item: the unconditional broadcast is
+    O(candidate pairs), so a duplicate-heavy 100 TB corpus would OOM the
+    driver). Auto mode localCheckpoints the bucket table — ONE
+    materialization of the expensive signature subtree, no second UDF
+    pass — then counts sum(k*(k-1)/2) over bucket sizes and broadcasts
+    only under MAX_BROADCAST_PAIRS. Explicit True/False still force the
+    strategy and keep the whole plan lazy (no count job). The single
+    non-iterative localCheckpoint here does not hit the compounding-
+    origin-stats hazard that _stats_reset_checkpoint exists for."""
+    if broadcast_candidates is None:
+        buckets = buckets.localCheckpoint()
+        k = F.size("_ids").cast("long")
+        n_pairs = (
+            buckets.agg(F.sum(k * (k - F.lit(1)) / F.lit(2)).alias("n")).first()["n"]
+            or 0
+        )
+        broadcast_candidates = n_pairs <= MAX_BROADCAST_PAIRS
     pair = F.filter(
         F.flatten(
             F.transform(
@@ -279,11 +307,11 @@ def _verify_bucket_pairs(
     )
     # The candidate pair set is USUALLY small (LSH banding exists
     # precisely to make it so) -> broadcast it and STREAM the corpus
-    # through one hash join. It is O(candidate pairs), NOT bounded: on a
-    # duplicate-heavy corpus pass broadcast_candidates=False to drop the
-    # hint — the join plans shuffled (AQE may still convert back to
-    # broadcast at runtime); results are identical either way
-    # (tests/test_round3_fixes.py).
+    # through one hash join. It is O(candidate pairs), NOT bounded —
+    # hence the auto-sizing above; a forced broadcast_candidates=False
+    # drops the hint and the join plans shuffled (AQE may still convert
+    # back to broadcast at runtime). Results are identical in all three
+    # modes (tests/test_round3_fixes.py, tests/test_round6_fixes.py).
     if broadcast_candidates:
         cands = F.broadcast(cands)
     fetched = docs.select(id_col, text_col).join(
@@ -648,7 +676,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     band_bits: int = 16,
-    broadcast_candidates: bool = True,
+    broadcast_candidates: "bool | None" = None,
 ) -> DataFrame:
     """SimHash-banded near-dup pairs with the EXACT gram-Jaccard verify
     stage (round 5) — the simhash twin of minhash_near_dup_pairs, same

@@ -120,14 +120,45 @@ def _with_commit_token(cp: DataFrame) -> DataFrame:
     return cp
 
 
+def _no_partition_type_inference(spark: SparkSession):
+    """Context manager: disable partitionColumnTypeInference for one read
+    and RESTORE the caller's value after (round-6 advice): with
+    ``partition_lineage=True`` the run_id/stage values live in directory
+    names, and inference would read a numeric-looking run_id ('20260817')
+    back as INT and a date-shaped one as DATE — silently changing the
+    column type vs the flat layout and breaking string comparisons (and
+    zero-padded ids like '0123' would not even round-trip through a
+    cast-back). Both lineage layouts must read with run_id/stage as
+    STRING, exactly as written."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prior = spark.conf.get(key, None)
+        spark.conf.set(key, "false")
+        try:
+            yield
+        finally:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
+
+    return _cm()
+
+
 def _read_checkpoint(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     """Read the lineage table with mergeSchema=true (round-4 advice): the
     dir is append-mode, so post-upgrade it mixes files with and without
     commit_token. Default schema inference samples ONE file — if it picks
     a legacy file the commit_token column is silently dropped for ALL
     rows and the same-tick tie-break goes inert. mergeSchema unions the
-    file schemas so tokened rows keep their tokens."""
-    return spark.read.option("mergeSchema", "true").parquet(checkpoint_dir)
+    file schemas so tokened rows keep their tokens. Partition-column type
+    inference is off for the same read (see
+    ``_no_partition_type_inference``)."""
+    with _no_partition_type_inference(spark):
+        return spark.read.option("mergeSchema", "true").parquet(checkpoint_dir)
 
 
 def _latest_commits(cp: DataFrame, keys: list[str]) -> DataFrame:
@@ -142,21 +173,52 @@ def _latest_commits(cp: DataFrame, keys: list[str]) -> DataFrame:
     return tagged.join(latest, [*keys, "_cmt"], "left_semi").drop("_cmt")
 
 
-def _check_lineage_layout(checkpoint_dir: str, partition_lineage: bool) -> None:
+def _check_lineage_layout(
+    checkpoint_dir: str, partition_lineage: bool, spark: "SparkSession | None" = None
+) -> None:
     """A checkpoint dir must be flat or partitioned from its first write
     — Spark cannot read a mix (conflicting directory structures), and
     vacuum's layout detection would then strand the flat files forever.
     Enforced here rather than by docstring (round-5 review): appending
-    the wrong layout corrupts the table silently until the next read."""
+    the wrong layout corrupts the table silently until the next read.
+
+    Non-local URIs (hdfs://, s3a://) list through the Hadoop FileSystem
+    API when a session is available (round-6 advice): the mixed-layout
+    corruption this guards against is MOST likely in the object-store
+    deployments ``partition_lineage`` targets, so silently skipping them
+    would disable the guard exactly where it matters. The Hadoop path
+    resolves the URI with the same configuration the subsequent write
+    uses, so the two can never disagree about which directory they mean.
+    """
     import os
 
+    entries: "list[str] | None" = None
     try:
         path = _local_path(checkpoint_dir)
     except ValueError:
-        return  # non-local URI: not inspectable here (Iceberg seam)
-    if not os.path.isdir(path):
-        return
-    entries = [e for e in os.listdir(path) if not e.startswith((".", "_"))]
+        if spark is None:
+            import warnings
+
+            warnings.warn(
+                f"lineage layout enforcement skipped for {checkpoint_dir!r}: "
+                "non-local URI and no SparkSession to list it through",
+                stacklevel=2,
+            )
+            return
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return
+        entries = [
+            st.getPath().getName()
+            for st in fs.listStatus(hpath)
+            if not st.getPath().getName().startswith((".", "_"))
+        ]
+    else:
+        if not os.path.isdir(path):
+            return
+        entries = [e for e in os.listdir(path) if not e.startswith((".", "_"))]
     if not entries:
         return
     existing_partitioned = any(e.startswith("stage=") for e in entries)
@@ -210,7 +272,7 @@ def write_records_and_checkpoint(
     tile-grain replay, so it is deliberately NOT offered as a knob.
     """
     spark = records.sparkSession
-    _check_lineage_layout(checkpoint_dir, partition_lineage)
+    _check_lineage_layout(checkpoint_dir, partition_lineage, spark)
     tiled = with_tile_id(records).persist()
     try:
         with _overwrite_mode_dynamic(spark):
@@ -243,7 +305,7 @@ def write_stream_batch(
     previous partial output and never another batch's rows.
     """
     spark = records.sparkSession
-    _check_lineage_layout(checkpoint_dir, partition_lineage)
+    _check_lineage_layout(checkpoint_dir, partition_lineage, spark)
     tiled = (
         with_tile_id(records)
         .withColumn("batch_id", F.lit(batch_id).cast("long"))
@@ -337,7 +399,8 @@ def verify_lineage(
 
 def completed_tiles(spark: SparkSession, checkpoint_dir: str, stage: str = "records") -> DataFrame:
     try:
-        cp = spark.read.parquet(checkpoint_dir)
+        with _no_partition_type_inference(spark):
+            cp = spark.read.parquet(checkpoint_dir)
     except Exception:
         return spark.createDataFrame([], "tile_id long")
     return cp.filter(F.col("stage") == stage).select("tile_id").distinct()
