@@ -162,7 +162,24 @@ def main(argv: list[str]) -> None:
         records, args.out, args.checkpoint, run_id=args.run_id,
         partition_lineage=args.partition_lineage,
     )
-    print("run metrics:", obs.get)
+    try:
+        print("run metrics:", obs.get)
+    except Exception:
+        # A fully-resumed run (nothing pending) is an EMPTY relation:
+        # Catalyst's empty-relation propagation elides the CollectMetrics
+        # node, the observation completes with a schemaless empty row,
+        # and toPyRow refuses it (Spark 4.1) — which would fail the job
+        # AFTER its data+lineage commit already succeeded. Metrics are
+        # advisory; the committed lineage is the fallback truth (this
+        # run's rows sum to its record count, 0 for an empty resume).
+        n = (
+            C._read_checkpoint(spark, args.checkpoint)
+            .filter(F.col("run_id") == args.run_id)
+            .agg(F.coalesce(F.sum("row_count"), F.lit(0)).alias("n"))
+            .collect()[0].n
+        )
+        print(f"run metrics: {{'n_records': {n}}} "
+              "(observation elided — empty resume; from lineage)")
     if args.compact:
         C.compact_records(spark, args.out, target_rows_per_file=args.compact)
         print(f"compacted {args.out} (target {args.compact} rows/file)")
