@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.window import Window
 
 from ..geo import cells as _cells
 from ..geo import pip as _pip
@@ -738,3 +739,231 @@ def knn_join(
         ).dropDuplicates([query_id, cand_id])
 
     return _rank(pairs).filter(F.col("knn_rank") <= k).drop("_d_raw")
+
+
+# --- G1b: geohash base32 encode (NATIVE) -------------------------------------------
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_col(lon: Column, lat: Column, precision: int = 6) -> Column:
+    """Classic base32 geohash, fully native (codegen): quantize lon/lat to
+    ``5*precision/2`` bits each, Morton-interleave with the magic-number
+    spread (lon occupies the first/odd-from-LSB bit lanes per the geohash
+    bit order), then map each 5-bit group through the base32 alphabet.
+
+    Even precisions only (symmetric lon/lat bit budgets keep the
+    interleave a plain Morton spread); a coarser geohash is the string
+    PREFIX — geohash bits are progressive, so ``substr(gh6, 1, 3)`` IS
+    the precision-3 geohash and no second encode is needed.
+
+    Interop note: this is the de-facto geohash.org layout (verified
+    against published vectors, tests/test_round6_ops.py), giving the
+    engine an interchange cell id alongside the S2-style Morton cell —
+    prefix joins and range scans work identically on either.
+    """
+    if precision % 2 != 0 or not (2 <= precision <= 12):
+        raise ValueError("precision must be even, in [2, 12]")
+    half_bits = 5 * precision // 2
+    n = float(1 << half_bits)
+    nmax = F.lit((1 << half_bits) - 1)
+    lon_q = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    lat_q = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(n))
+    lon_q = F.greatest(F.lit(0), F.least(nmax, lon_q)).cast("long")
+    lat_q = F.greatest(F.lit(0), F.least(nmax, lat_q)).cast("long")
+    # geohash bit 0 (MSB) is a lon bit; with even total bits the MSB sits
+    # at an odd LSB-position, so lon takes the shifted spread lane
+    word = _spread_bits_col(lat_q).bitwiseOR(
+        F.shiftleft(_spread_bits_col(lon_q), 1)
+    )
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH_BASE32])
+    chars = [
+        F.element_at(
+            alphabet,
+            (
+                F.shiftright(word, 5 * (precision - 1 - i))
+                .bitwiseAND(F.lit(31))
+                .cast("int")
+                + F.lit(1)
+            ),
+        )
+        for i in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql_parts(
+    lon_expr: str, lat_expr: str, precision: int = 6
+) -> "dict[str, str]":
+    """DuckDB longhand twin of ``geohash_col``, as composable CTE pieces
+    (same IEEE op order for the quantization, explicit shift/mask
+    interleave terms, substr-based base32 lookup). Returns exprs for:
+    ``lonq``/``latq`` over (lon, lat); ``word`` over columns named
+    lonq/latq; ``chars`` over a column named gword. Generated next to the
+    native builder so Spark and oracle cannot drift."""
+    if precision % 2 != 0 or not (2 <= precision <= 12):
+        raise ValueError("precision must be even, in [2, 12]")
+    half_bits = 5 * precision // 2
+    n = 1 << half_bits
+    terms = []
+    for b in range(half_bits):
+        terms.append(f"(((latq >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((lonq >> {b}) & 1) << {2 * b + 1})")
+    chars = [
+        f"substr('{GEOHASH_BASE32}',"
+        f" CAST((gword >> {5 * (precision - 1 - i)}) & 31 AS INT) + 1, 1)"
+        for i in range(precision)
+    ]
+    return {
+        "lonq": (
+            f"GREATEST(0, LEAST({n - 1}, CAST(FLOOR(({lon_expr} + 180.0)"
+            f" / 360.0 * {float(n)}) AS BIGINT)))"
+        ),
+        "latq": (
+            f"GREATEST(0, LEAST({n - 1}, CAST(FLOOR(({lat_expr} + 90.0)"
+            f" / 180.0 * {float(n)}) AS BIGINT)))"
+        ),
+        "word": "(" + " + ".join(terms) + ")",
+        "chars": " || ".join(chars),
+    }
+
+
+# --- G7b: tile -> bbox decode (NATIVE inverse of tile_cols) ------------------------
+
+
+def tile_bbox_cols(
+    x: Column, y: Column, z: int, round_to: int = 9
+) -> "tuple[Column, Column, Column, Column]":
+    """(tile_x, tile_y) at zoom z -> (west, south, east, north) degrees.
+
+    Inverse of the slippy formula: lon edges are linear; lat edges are
+    the inverse Gudermannian ``degrees(atan(sinh(pi * (1 - 2*y/n))))``
+    with sinh spelled as the exp identity so the same longhand runs in
+    DuckDB. libm-backed (exp/atan), hence rounded to ``round_to`` before
+    comparison per the repo's oracle-exactness rules.
+    """
+    n = F.lit(float(1 << z))
+    west = x.cast("double") / n * F.lit(360.0) - F.lit(180.0)
+    east = (x.cast("double") + F.lit(1.0)) / n * F.lit(360.0) - F.lit(180.0)
+
+    def _lat(yy: Column) -> Column:
+        t = F.lit(float(np.pi)) * (F.lit(1.0) - F.lit(2.0) * yy / n)
+        sinh_t = (F.exp(t) - F.exp(-t)) / F.lit(2.0)
+        return F.round(F.degrees(F.atan(sinh_t)), round_to)
+
+    return (
+        F.round(west, round_to),
+        _lat(y.cast("double") + F.lit(1.0)),
+        F.round(east, round_to),
+        _lat(y.cast("double")),
+    )
+
+
+# --- G8: per-key trajectory stats (W2 lag + G6 haversine composite) ----------------
+
+
+def track_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    order_tiebreak: str | None = None,
+    leg_round: int = 6,
+) -> DataFrame:
+    """Per-key trajectory statistics: order each key's points by time,
+    measure consecutive-leg haversine distances, aggregate to one row per
+    key (n_legs, total length, longest leg).
+
+    Scale shape: ONE shuffle — the window partitions by ``key_col`` and
+    the following groupBy reuses that hash partitioning (no second
+    Exchange; asserted by tests/test_round6_ops.py plan check). Legs are
+    rounded to ``leg_round`` then summed as exact micro-unit BIGINTs, so
+    the per-key totals are order-independent and engine-exact (the
+    float-aggregate rule from CLAUDE.md applied to a libm kernel).
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    leg = F.round(
+        haversine_km_col(
+            F.lag(lat_col).over(w),
+            F.lag(lon_col).over(w),
+            F.col(lat_col),
+            F.col(lon_col),
+        ),
+        leg_round,
+    )
+    mult = 10**leg_round
+    leg_units = F.round(leg * F.lit(float(mult))).cast("long")
+    return (
+        df.withColumn("_leg_units", leg_units)
+        .groupBy(key_col)
+        .agg(
+            F.count("_leg_units").alias("n_legs"),
+            F.sum("_leg_units").alias("track_units"),
+            F.max("_leg_units").alias("max_leg_units"),
+        )
+    )
+
+
+# --- G9: polygon area + centroid (shoelace, exact integer grid) --------------------
+
+
+def polygon_area_centroid(
+    verts: DataFrame,
+    id_col: str = "pid",
+    order_col: str = "j",
+    x_col: str = "gx",
+    y_col: str = "gy",
+) -> DataFrame:
+    """Planar shoelace area + centroid per polygon over INTEGER vertex
+    coordinates (e.g. centi-degrees): every cross product and partial sum
+    is exact BIGINT arithmetic, so the per-polygon signed double-area and
+    centroid numerators are order-independent and engine-exact — the
+    integer-grid analogue of the micro-unit float-aggregate rule.
+
+    Input: one row per vertex (id, order, x, y), ring open (last vertex
+    != first); the closing edge wraps via first_value over the partition.
+    Outputs: ``area2`` = signed 2*A in grid units^2 (sign = orientation,
+    CCW positive in y-up coords), ``cx_num``/``cy_num`` = 3*area2-scaled
+    centroid numerators, and double centroids ``cx``/``cy`` in grid units
+    (exact single divisions; NULL for degenerate zero-area polygons).
+
+    Scale shape: one shuffle on ``id_col`` — the lead/first_value window
+    and the groupBy share the partitioning.
+    """
+    w = Window.partitionBy(id_col).orderBy(order_col)
+    wall = (
+        Window.partitionBy(id_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    xn = F.coalesce(F.lead(x_col).over(w), F.first(x_col).over(wall))
+    yn = F.coalesce(F.lead(y_col).over(w), F.first(y_col).over(wall))
+    cross = F.col(x_col) * yn - xn * F.col(y_col)
+    out = (
+        verts.select(
+            F.col(id_col),
+            cross.alias("_cross"),
+            ((F.col(x_col) + xn) * cross).alias("_cxn"),
+            ((F.col(y_col) + yn) * cross).alias("_cyn"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cross").alias("area2"),
+            F.sum("_cxn").alias("cx_num"),
+            F.sum("_cyn").alias("cy_num"),
+        )
+    )
+    denom = F.lit(3.0) * F.col("area2").cast("double")
+    safe = F.col("area2") != 0
+    return out.select(
+        id_col,
+        "area2",
+        "cx_num",
+        "cy_num",
+        F.when(safe, F.col("cx_num").cast("double") / denom).alias("cx"),
+        F.when(safe, F.col("cy_num").cast("double") / denom).alias("cy"),
+    )

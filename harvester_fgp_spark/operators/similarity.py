@@ -296,3 +296,63 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", "cos_sim")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.9999,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the corpus with a coarse k-means quantizer, then drop every document
+    whose cosine similarity to a LOWER-id document in the SAME cluster
+    meets ``threshold``; the surviving lower id is the kept
+    representative.
+
+    Returns (dropped_id, kept_id) with kept_id = min qualifying partner.
+
+    Scale shape: the all-pairs comparison is scoped to clusters — the
+    only join is an equi-join on the int cell id, so candidate pairs are
+    sum_c(n_c^2)/2, not n^2/2, and the cluster count is the compute/
+    recall knob exactly as in IVF search. Centroids ride a broadcast;
+    the pair join shuffles (id, embedding) rows hash-partitioned by cell.
+
+    Determinism note (oracle strategy, the ann_ivf_recall trick): at
+    ``threshold`` ~1.0 the qualifying pairs are exact-duplicate vectors,
+    which land in the same cluster under ANY centroid set (identical
+    inputs -> identical argmin), so the output is centroid-invariant and
+    DuckDB can recompute it as an equality self-join on the raw arrays.
+    Lower thresholds trade that invariance for more aggressive semantic
+    pruning (pytest covers the planted-near-dup tier).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec = vectors.withColumn("_v", array_to_vector(F.col(emb_col)))
+    model = KMeans(
+        k=n_cells, seed=7, featuresCol="_v", predictionCol="_cell"
+    ).fit(vec)
+    assigned = model.transform(vec).select(
+        F.col(id_col), F.col(emb_col), F.col("_cell").alias("cell")
+    )
+    lo = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("_lo_id"),
+        F.col(emb_col).alias("_lo_emb"),
+    )
+    hi = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("_hi_id"),
+        F.col(emb_col).alias("_hi_emb"),
+    )
+    pairs = lo.join(hi, "cell").filter(F.col("_lo_id") < F.col("_hi_id"))
+    cos = _dot("_lo_emb", "_hi_emb") / (
+        F.sqrt(_dot("_lo_emb", "_lo_emb")) * F.sqrt(_dot("_hi_emb", "_hi_emb"))
+    )
+    return (
+        pairs.filter(cos >= F.lit(threshold))
+        .groupBy(F.col("_hi_id").alias("dropped_id"))
+        .agg(F.min("_lo_id").alias("kept_id"))
+    )

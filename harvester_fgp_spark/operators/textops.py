@@ -415,3 +415,80 @@ def remove_duplicate_lines(
     return docs.join(rebuilt, id_col, "left").withColumn(
         "clean_text", F.coalesce(F.col("clean_text"), F.lit(""))
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, fully native.
+
+    Per document: duplicate-word fraction (1 - distinct/total words),
+    top-bigram fraction (occurrences of the most frequent word bigram /
+    total bigrams) and duplicate-bigram fraction — the "repetitious
+    document" filters from Rae et al. 2021 §A1.3, re-expressed as one
+    scan + two same-key shuffles.
+
+    Plan shape: word-level stats (size/array_distinct) never leave the
+    row — no explode, no shuffle; only the bigram frequency table
+    explodes, and both groupBys hash on doc-scoped keys so skew is
+    bounded by document length, not corpus size. Fractions are emitted
+    as exact micro-unit BIGINTs (single-division IEEE order mirrored by
+    the DuckDB oracle).
+    """
+    words = F.split(F.col(text_col), sep)
+    nw = F.size(words)
+    base = docs.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.when(
+            nw >= 2,
+            F.zip_with(
+                F.slice(words, 1, nw - 1),
+                F.slice(words, 2, nw - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bigrams"),
+    )
+    grams = base.select(
+        id_col,
+        "n_words",
+        "n_distinct_words",
+        F.explode_outer("bigrams").alias("bigram"),
+    )
+    freq = grams.groupBy(id_col, "n_words", "n_distinct_words", "bigram").agg(
+        F.count("bigram").alias("_cnt")
+    )
+    per_doc = freq.groupBy(id_col, "n_words", "n_distinct_words").agg(
+        F.coalesce(F.sum("_cnt"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.max("_cnt"), F.lit(0)).alias("top_bigram_n"),
+        F.sum(F.when(F.col("bigram").isNotNull(), 1).otherwise(0)).alias(
+            "n_distinct_bigrams"
+        ),
+    )
+
+    def _micro_frac(num: Column, den: Column) -> Column:
+        frac = num.cast("double") / den.cast("double")
+        return F.when(
+            den > 0, F.round(frac * F.lit(1000000.0)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    return per_doc.select(
+        id_col,
+        F.col("n_words").cast("long").alias("n_words"),
+        _micro_frac(
+            F.col("n_words") - F.col("n_distinct_words"), F.col("n_words")
+        ).alias("dup_word_micro"),
+        _micro_frac(F.col("top_bigram_n"), F.col("n_bigrams")).alias(
+            "top_bigram_micro"
+        ),
+        _micro_frac(
+            F.col("n_bigrams") - F.col("n_distinct_bigrams"),
+            F.col("n_bigrams"),
+        ).alias("dup_bigram_micro"),
+    )

@@ -177,3 +177,31 @@ DBSCAN_POINTS_SQL = f"""
     FROM documents, UNNEST([1, 2, 3]) AS t(k)
     WHERE doc_id % 5 = 0
 """
+
+
+def points_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, user_id, ts, lat, lon) — pseudo-geo trajectory points,
+    one per event, keyed for per-user time ordering (G8 track stats).
+    Same integer-arithmetic derivation as points_from_documents."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            ((F.col("event_id") * _LAT_MUL) % _LAT_MOD - F.lit(_LAT_MOD // 2))
+            / F.lit(100.0)
+        ).alias("lat"),
+        (
+            ((F.col("event_id") * _LON_MUL) % _LON_MOD - F.lit(_LON_MOD // 2))
+            / F.lit(100.0)
+        ).alias("lon"),
+    )
+
+
+EVENT_POINTS_SQL = f"""
+    SELECT event_id, user_id, ts,
+           ((event_id * {_LAT_MUL}) % {_LAT_MOD} - {_LAT_MOD // 2}) / 100.0 AS lat,
+           ((event_id * {_LON_MUL}) % {_LON_MOD} - {_LON_MOD // 2}) / 100.0 AS lon
+    FROM events
+"""

@@ -1,0 +1,367 @@
+"""Round-6 operator tests: geohash encode, tile->bbox decode, trajectory
+stats, shoelace area/centroid, Gopher repetition stats, SemDeDup.
+
+Each operator also carries a DuckDB oracle row (__spark_entry__); these
+tests pin the pieces the oracle can't see — published interop vectors,
+plan shapes, sign/degenerate edges, and the non-invariant (lower
+threshold) SemDeDup tier.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from harvester_fgp_spark.geo import tiles as _tiles
+from harvester_fgp_spark.operators.geo import (
+    GEOHASH_BASE32,
+    geohash_col,
+    polygon_area_centroid,
+    tile_bbox_cols,
+    track_stats,
+)
+from harvester_fgp_spark.operators.similarity import semantic_dedup
+from harvester_fgp_spark.operators.textops import repetition_stats
+
+from tests.conftest import plan_string
+
+
+# --- reference geohash (classic interval-halving, for parity only) ----------
+
+
+def _ref_geohash(lat: float, lon: float, precision: int) -> str:
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits, bit_count, even = 0, 0, True
+    out = []
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits = (bits << 1) | 1
+                lon_lo = mid
+            else:
+                bits <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits = (bits << 1) | 1
+                lat_lo = mid
+            else:
+                bits <<= 1
+                lat_hi = mid
+        even = not even
+        bit_count += 1
+        if bit_count == 5:
+            out.append(GEOHASH_BASE32[bits])
+            bits, bit_count = 0, 0
+    return "".join(out)
+
+
+def test_geohash_published_vectors(spark):
+    # geohash.org / Wikipedia interop vectors
+    df = spark.createDataFrame(
+        [(42.6, -5.6), (57.64911, 10.40744)], "lat double, lon double"
+    ).select(geohash_col(F.col("lon"), F.col("lat"), 6).alias("gh"))
+    got = [r.gh for r in df.toPandas().itertuples(index=False)]
+    assert got[0][:5] == "ezs42"
+    assert got[1] == "u4pruy"
+
+
+def test_geohash_matches_reference_grid(spark):
+    rng = np.random.default_rng(42)
+    lats = np.concatenate(
+        [rng.uniform(-90, 90, 200), [-90.0, 90.0, 0.0, 84.99, -84.99]]
+    )
+    lons = np.concatenate(
+        [rng.uniform(-180, 180, 200), [-180.0, 179.999999, 0.0, -0.0, 45.0]]
+    )
+    pdf = pd.DataFrame({"lat": lats, "lon": lons})
+    df = spark.createDataFrame(pdf).select(
+        "lat", "lon", geohash_col(F.col("lon"), F.col("lat"), 6).alias("gh")
+    )
+    for r in df.toPandas().itertuples(index=False):
+        assert r.gh == _ref_geohash(r.lat, r.lon, 6), (r.lat, r.lon)
+
+
+def test_geohash_prefix_is_coarser_cell(spark):
+    df = spark.createDataFrame(
+        [(48.8584, 2.2945)], "lat double, lon double"
+    ).select(
+        geohash_col(F.col("lon"), F.col("lat"), 6).alias("gh6"),
+        geohash_col(F.col("lon"), F.col("lat"), 4).alias("gh4"),
+        geohash_col(F.col("lon"), F.col("lat"), 2).alias("gh2"),
+    )
+    r = df.toPandas().iloc[0]
+    assert r.gh6[:4] == r.gh4 and r.gh6[:2] == r.gh2
+
+
+def test_geohash_stays_native(spark):
+    df = spark.range(10).select(
+        geohash_col(
+            (F.col("id") % 360).cast("double") - 180.0,
+            (F.col("id") % 120).cast("double") - 60.0,
+            6,
+        ).alias("gh")
+    )
+    plan = plan_string(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# --- tile -> bbox decode ----------------------------------------------------
+
+
+def test_tile_bbox_roundtrip(spark):
+    z = 8
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 1 << z, 50)
+    ys = rng.integers(1, (1 << z) - 1, 50)  # interior rows (mercator clamp)
+    pdf = pd.DataFrame({"tile_x": xs.astype("int64"), "tile_y": ys.astype("int64")})
+    w, s, e, n = tile_bbox_cols(F.col("tile_x"), F.col("tile_y"), z)
+    out = (
+        spark.createDataFrame(pdf)
+        .select("tile_x", "tile_y", w.alias("w"), s.alias("s"), e.alias("e"), n.alias("n"))
+        .toPandas()
+    )
+    assert (out.w < out.e).all() and (out.s < out.n).all()
+    # center of the decoded bbox maps back to the same tile (numpy twin)
+    cx = (out.w + out.e) / 2
+    cy = (out.s + out.n) / 2
+    tx, ty = _tiles.point_to_tile(cx.to_numpy(), cy.to_numpy(), z)
+    assert (tx == out.tile_x.to_numpy()).all()
+    assert (ty == out.tile_y.to_numpy()).all()
+    # exact numpy parity on the lon edges (linear part)
+    np.testing.assert_allclose(
+        out.w.to_numpy(), xs / 256.0 * 360.0 - 180.0, rtol=0, atol=1e-9
+    )
+
+
+# --- track stats ------------------------------------------------------------
+
+
+def _brute_track(pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for uid, g in pdf.sort_values(["uid", "ts", "eid"]).groupby("uid"):
+        lat = np.radians(g.lat.to_numpy())
+        lon = np.radians(g.lon.to_numpy())
+        if len(g) < 2:
+            rows.append((uid, 0, None, None))
+            continue
+        dp = lat[1:] - lat[:-1]
+        dl = lon[1:] - lon[:-1]
+        a = (
+            np.sin(dp / 2) ** 2
+            + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dl / 2) ** 2
+        )
+        d = 2 * 6371.0088 * np.arctan2(np.sqrt(a), np.sqrt(1 - a))
+        units = np.round(np.round(d, 6) * 1e6).astype("int64")
+        rows.append((uid, len(units), int(units.sum()), int(units.max())))
+    return pd.DataFrame(
+        rows, columns=["uid", "n_legs", "track_units", "max_leg_units"]
+    )
+
+
+def test_track_stats_matches_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 12, n).astype("int64"),
+            "eid": np.arange(n, dtype="int64"),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "lat": rng.uniform(-80, 80, n),
+            "lon": rng.uniform(-179, 179, n),
+        }
+    )
+    out = (
+        track_stats(
+            spark.createDataFrame(pdf),
+            key_col="uid",
+            ts_col="ts",
+            lat_col="lat",
+            lon_col="lon",
+            order_tiebreak="eid",
+        )
+        .toPandas()
+        .sort_values("uid", ignore_index=True)
+    )
+    exp = _brute_track(pdf).sort_values("uid", ignore_index=True)
+    assert out.uid.tolist() == exp.uid.tolist()
+    assert out.n_legs.astype("int64").tolist() == exp.n_legs.tolist()
+    assert out.track_units.astype("int64").tolist() == exp.track_units.tolist()
+    assert (
+        out.max_leg_units.astype("int64").tolist() == exp.max_leg_units.tolist()
+    )
+
+
+def test_track_stats_single_shuffle(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("uid"),
+        F.col("id").alias("eid"),
+        F.col("id").cast("timestamp").alias("ts"),
+        (F.col("id") % 70).cast("double").alias("lat"),
+        (F.col("id") % 150).cast("double").alias("lon"),
+    )
+    out = track_stats(
+        df, key_col="uid", ts_col="ts", lat_col="lat", lon_col="lon",
+        order_tiebreak="eid",
+    )
+    plan = plan_string(out)
+    # window partitioning is reused by the groupBy: exactly one Exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# --- polygon area + centroid ------------------------------------------------
+
+
+def _shoelace(gx: np.ndarray, gy: np.ndarray):
+    xn, yn = np.roll(gx, -1), np.roll(gy, -1)
+    cr = gx * yn - xn * gy
+    a2 = cr.sum()
+    cxn = ((gx + xn) * cr).sum()
+    cyn = ((gy + yn) * cr).sum()
+    return a2, cxn, cyn
+
+
+def test_polygon_area_centroid_matches_numpy(spark):
+    rng = np.random.default_rng(5)
+    rows = []
+    for pid in range(8):
+        k = int(rng.integers(3, 9))
+        th = np.sort(rng.uniform(0, 2 * np.pi, k))  # star-shaped, CCW
+        r = rng.integers(50, 500)
+        gx = np.round(1000 + r * np.cos(th)).astype("int64")
+        gy = np.round(2000 + r * np.sin(th)).astype("int64")
+        for j in range(k):
+            rows.append((pid, j, int(gx[j]), int(gy[j])))
+    pdf = pd.DataFrame(rows, columns=["pid", "j", "gx", "gy"])
+    out = (
+        polygon_area_centroid(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("pid", ignore_index=True)
+    )
+    for pid, g in pdf.groupby("pid"):
+        a2, cxn, cyn = _shoelace(g.gx.to_numpy(), g.gy.to_numpy())
+        row = out[out.pid == pid].iloc[0]
+        assert row.area2 == a2 and row.cx_num == cxn and row.cy_num == cyn
+        assert a2 > 0  # CCW orientation -> positive signed area
+        assert abs(row.cx - cxn / (3.0 * a2)) == 0.0
+        # centroid lands inside the bbox of a star-shaped polygon
+        assert g.gx.min() <= row.cx <= g.gx.max()
+        assert g.gy.min() <= row.cy <= g.gy.max()
+
+
+def test_polygon_area_sign_and_degenerate(spark):
+    # CW unit square -> negative signed area; collinear "polygon" -> 0
+    rows = [
+        (0, 0, 0, 0), (0, 1, 0, 10), (0, 2, 10, 10), (0, 3, 10, 0),  # CW in y-up
+        (1, 0, 0, 0), (1, 1, 5, 5), (1, 2, 10, 10),                  # degenerate
+    ]
+    pdf = pd.DataFrame(rows, columns=["pid", "j", "gx", "gy"])
+    out = (
+        polygon_area_centroid(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("pid", ignore_index=True)
+    )
+    assert out.loc[0].area2 == -200  # CW orientation, 2*A = -2*100
+    assert out.loc[1].area2 == 0
+    assert pd.isna(out.loc[1].cx) and pd.isna(out.loc[1].cy)
+
+
+# --- repetition stats -------------------------------------------------------
+
+
+def test_repetition_stats_handcomputed(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a"),      # 5 words, 2 distinct; bigrams: ab x2, ba x2
+            (1, "x y z"),          # all distinct
+            (2, "solo"),           # 1 word -> no bigrams
+            (3, "t t t t"),        # maximal repetition
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        repetition_stats(docs)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 0: dup words 3/5; 4 bigrams, top 2/4, distinct 2 -> dup 2/4
+    assert out.loc[0].dup_word_micro == 600000
+    assert out.loc[0].top_bigram_micro == 500000
+    assert out.loc[0].dup_bigram_micro == 500000
+    # doc 1: no repetition anywhere
+    assert out.loc[1].dup_word_micro == 0
+    assert out.loc[1].top_bigram_micro == 500000  # top 1 of 2 bigrams
+    assert out.loc[1].dup_bigram_micro == 0
+    # doc 2: single word -> zero denominators handled
+    assert out.loc[2].n_words == 1
+    assert out.loc[2].top_bigram_micro == 0
+    # doc 3: 3 identical bigrams
+    assert out.loc[3].dup_word_micro == 750000
+    assert out.loc[3].top_bigram_micro == 1000000
+    assert out.loc[3].dup_bigram_micro == 666667
+
+
+def test_repetition_stats_stays_native(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = plan_string(repetition_stats(docs))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# --- semantic dedup ---------------------------------------------------------
+
+
+def _emb_frame(spark, n=80, dim=8, seed=3):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "embedding": [v.tolist() for v in vecs],
+        }
+    )
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_semantic_dedup_planted_exact(spark):
+    base, _ = _emb_frame(spark)
+    planted = base.filter(F.col("vec_id") % 4 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 10000
+    )
+    out = (
+        semantic_dedup(base.unionByName(planted), n_cells=4, threshold=0.9999)
+        .toPandas()
+        .sort_values("dropped_id", ignore_index=True)
+    )
+    exp_dropped = [i + 10000 for i in range(0, 80, 4)]
+    assert out.dropped_id.tolist() == exp_dropped
+    assert (out.kept_id == out.dropped_id - 10000).all()
+
+
+def test_semantic_dedup_near_dup_tier(spark):
+    # lower threshold: eps-perturbed copies must still be dropped
+    base, vecs = _emb_frame(spark)
+    rng = np.random.default_rng(9)
+    pert = vecs[:20] + rng.normal(scale=1e-3, size=(20, vecs.shape[1])).astype(
+        "float32"
+    )
+    near = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(20000, 20020, dtype="int64"),
+                "embedding": [v.tolist() for v in pert],
+            }
+        )
+    )
+    out = semantic_dedup(
+        base.unionByName(near), n_cells=4, threshold=0.99
+    ).toPandas()
+    dropped = set(out.dropped_id.tolist())
+    assert set(range(20000, 20020)) <= dropped
