@@ -2141,6 +2141,54 @@ def _q_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9]
 
 
+def _q_track_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8b: stay-point (dwell) detection — the sessionize island pattern
+    applied to SPACE: consecutive points with legs <= 2000 km group into
+    stops (micro-km BIGINT threshold, no float coin flips); exact
+    centi-degree centroid accumulators. ONE shuffle (windows and groupBy
+    all hash on user_id)."""
+    _utc(spark)
+    pts = D.points_from_events(spark, sf_dir)
+    return G.track_stops(
+        pts,
+        key_col="user_id",
+        ts_col="ts",
+        lat_col="lat",
+        lon_col="lon",
+        max_leg_km=2000.0,
+        min_points=2,
+        order_tiebreak="event_id",
+    )
+
+
+def _q_freq_items_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter sketch QUALITY under the exact gate (the
+    approx_distinct_bound pattern applied to freqItems): the sketch's
+    item list is impl-specific (false positives allowed), but its
+    CONTRACT — every item with frequency > support*n is returned — is
+    checkable. Spark runs the real single-pass sketch AND the exact
+    frequency table, emits per exactly-frequent item whether the sketch
+    covered it; DuckDB recomputes the exact side and asserts the
+    literal contract."""
+    ev = _read(spark, sf_dir, "events")
+    support = 0.1
+    fi = ev.stat.freqItems(["event_type"], support)
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("exact_cnt"))
+        .withColumn("_n", F.sum("exact_cnt").over(Window.partitionBy()))
+        .filter(F.col("exact_cnt") > F.lit(support) * F.col("_n"))
+    )
+    return exact.crossJoin(F.broadcast(fi)).select(
+        "event_type",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.array_contains(F.col("event_type_freqItems"), F.col("event_type"))
+        .cast("long")
+        .alias("in_sketch"),
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-row report window covers every DISTINCT
     capability: CORRECTNESS_r02 showed the gate records only the first 50
@@ -2254,6 +2302,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 6 tail additions: tile decode (inverse of the in-window
         # geo_tile_assign encode — same formula family)
         "tile_to_bbox": _q_tile_to_bbox,
+        # round 6 tail: stay-point detection (track_stats family) and the
+        # freqItems contract row (bound-gated sketch family alongside
+        # approx_distinct_bound / approx_quantile_bound)
+        "track_stops": _q_track_stops,
+        "freq_items_bound": _q_freq_items_bound,
         "text_tokens": _q_text_tokens,
         "multimodal_binary": _q_multimodal_binary,
         "stats_median": _q_stats_median,
@@ -4077,6 +4130,57 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(COUNT(value) AS BIGINT) FROM events) AS n,
                    CAST(1 AS BIGINT) AS within_bound
             FROM (SELECT UNNEST([0.1, 0.25, 0.5, 0.75, 0.9]) AS q)
+        """,
+        "track_stops": f"""
+            WITH pts AS ({D.EVENT_POINTS_SQL}),
+            lagd AS (
+                SELECT user_id, event_id, ts, lat, lon,
+                       LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+                FROM pts
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            legs AS (
+                SELECT user_id, event_id, ts, lat, lon,
+                       CAST(ROUND(ROUND(
+                           {hav.format(lat1="plat", lon1="plon", lat2="lat", lon2="lon")},
+                       6) * 1000000.0) AS BIGINT) AS leg_units
+                FROM lagd
+            ),
+            marked AS (
+                SELECT user_id, event_id, ts, lat, lon,
+                       CASE WHEN leg_units IS NULL
+                                 OR leg_units > 2000000000 THEN 1
+                            ELSE 0 END AS new_stop
+                FROM legs
+            ),
+            grouped AS (
+                SELECT user_id, ts, lat, lon,
+                       SUM(new_stop) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS stop_seq
+                FROM marked
+            )
+            SELECT user_id, CAST(stop_seq AS BIGINT) AS stop_seq,
+                   CAST(COUNT(*) AS BIGINT) AS n_points,
+                   CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us,
+                   CAST(MAX(epoch_us(ts)) AS BIGINT) AS end_us,
+                   CAST(SUM(CAST(ROUND(lat * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_clat,
+                   CAST(SUM(CAST(ROUND(lon * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_clon
+            FROM grouped GROUP BY user_id, stop_seq
+            HAVING COUNT(*) >= 2
+        """,
+        "freq_items_bound": """
+            WITH c AS (
+                SELECT event_type, COUNT(*) AS exact_cnt FROM events
+                GROUP BY event_type
+            )
+            SELECT event_type, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+                   CAST(1 AS BIGINT) AS in_sketch
+            FROM c
+            WHERE exact_cnt > 0.1 * (SELECT SUM(exact_cnt) FROM c)
         """,
         # dedup_minhash / dedup_simhash / ann_lsh / ann_ivf /
         # approx_distinct_users / polygon_tiles / pipeline_flagship:

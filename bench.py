@@ -42,6 +42,11 @@ BENCH_QUERIES = (
     "text_analysis",
     "tile_group_stats",
     "decontaminate",
+    # round 6 additions (the non-trivial ones: per-doc bigram freqs,
+    # cluster-scoped cosine dedup, per-user windowed trajectory legs)
+    "repetition_stats",
+    "semantic_dedup",
+    "track_stats",
 )
 # NOT benched: geo_dbscan — at sf0.1 the fixture percolates into one giant
 # cluster and the contraction loop's per-round FIXED cost (a handful of

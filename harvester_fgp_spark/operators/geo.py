@@ -967,3 +967,86 @@ def polygon_area_centroid(
         F.when(safe, F.col("cx_num").cast("double") / denom).alias("cx"),
         F.when(safe, F.col("cy_num").cast("double") / denom).alias("cy"),
     )
+
+
+def track_stops(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_leg_km: float = 2000.0,
+    min_points: int = 2,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Stay-point (dwell) detection over per-key trajectories (Li et al.
+    2008 reshaped for Spark): consecutive points whose connecting leg is
+    <= ``max_leg_km`` island-group into one "stop"; stops with at least
+    ``min_points`` points are emitted with their time span and an exact
+    integer centroid accumulator.
+
+    The island id is the gap-split running sum (lag + sum over the same
+    key window — the sessionize pattern applied to SPACE instead of
+    time). Thresholding compares micro-km BIGINTs so a leg landing
+    exactly on the threshold is engine-exact, never a float coin flip.
+
+    Scale shape: ONE shuffle — both windows and the final groupBy hash
+    on ``key_col`` (HashPartitioning(key) satisfies the (key, stop)
+    clustering), plan-asserted in tests. Centroids are emitted as exact
+    centi-degree sums + counts rather than float averages so downstream
+    consumers (and the DuckDB oracle) divide once, deterministically.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    leg_units = F.round(
+        F.round(
+            haversine_km_col(
+                F.lag(lat_col).over(w),
+                F.lag(lon_col).over(w),
+                F.col(lat_col),
+                F.col(lon_col),
+            ),
+            6,
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    max_units = round(max_leg_km * 1e6)
+    new_stop = F.when(
+        leg_units.isNull() | (leg_units > F.lit(max_units)), 1
+    ).otherwise(0)
+    marked = df.withColumn("_new", new_stop).withColumn(
+        "_stop",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    stops = (
+        marked.groupBy(key_col, "_stop")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias(
+                "start_us"
+            ),
+            F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias(
+                "end_us"
+            ),
+            F.sum(F.round(F.col(lat_col) * 100).cast("long")).alias(
+                "sum_clat"
+            ),
+            F.sum(F.round(F.col(lon_col) * 100).cast("long")).alias(
+                "sum_clon"
+            ),
+        )
+        .filter(F.col("n_points") >= min_points)
+    )
+    return stops.select(
+        key_col,
+        F.col("_stop").cast("long").alias("stop_seq"),
+        F.col("n_points").cast("long").alias("n_points"),
+        "start_us",
+        "end_us",
+        "sum_clat",
+        "sum_clon",
+    )

@@ -365,3 +365,106 @@ def test_semantic_dedup_near_dup_tier(spark):
     ).toPandas()
     dropped = set(out.dropped_id.tolist())
     assert set(range(20000, 20020)) <= dropped
+
+
+# --- track stops (stay-point detection) -------------------------------------
+
+
+def _brute_stops(pdf: pd.DataFrame, max_units: int, min_points: int):
+    out = []
+    for uid, g in pdf.sort_values(["uid", "ts", "eid"]).groupby("uid"):
+        lat = g.lat.to_numpy()
+        lon = g.lon.to_numpy()
+        rl = np.radians(lat)
+        rn = np.radians(lon)
+        stop_seq = 0
+        members: list[int] = []
+        groups = []
+        for i in range(len(g)):
+            if i == 0:
+                new = True
+            else:
+                dp = rl[i] - rl[i - 1]
+                dl = rn[i] - rn[i - 1]
+                a = (
+                    np.sin(dp / 2) ** 2
+                    + np.cos(rl[i - 1]) * np.cos(rl[i]) * np.sin(dl / 2) ** 2
+                )
+                d = 2 * 6371.0088 * np.arctan2(np.sqrt(a), np.sqrt(1 - a))
+                units = int(np.round(np.round(d, 6) * 1e6))
+                new = units > max_units
+            if new:
+                if len(members) >= min_points:
+                    groups.append((stop_seq, list(members)))
+                stop_seq += 1
+                members = [i]
+            else:
+                members.append(i)
+        if len(members) >= min_points:
+            groups.append((stop_seq, list(members)))
+        for seq, idxs in groups:
+            out.append((uid, seq, len(idxs)))
+    return pd.DataFrame(out, columns=["uid", "stop_seq", "n_points"])
+
+
+def test_track_stops_matches_bruteforce(spark):
+    from harvester_fgp_spark.operators.geo import track_stops
+
+    rng = np.random.default_rng(21)
+    n = 600
+    # clustered walks: small steps with occasional jumps -> real stops
+    uid = rng.integers(0, 8, n).astype("int64")
+    lat = np.cumsum(rng.normal(0, 0.02, n)) % 60
+    lon = np.cumsum(rng.normal(0, 0.02, n)) % 120
+    jump = rng.random(n) < 0.15
+    lat = np.where(jump, rng.uniform(-60, 60, n), lat)
+    lon = np.where(jump, rng.uniform(-120, 120, n), lon)
+    pdf = pd.DataFrame(
+        {
+            "uid": uid,
+            "eid": np.arange(n, dtype="int64"),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(np.arange(n), unit="m"),
+            "lat": lat,
+            "lon": lon,
+        }
+    )
+    out = (
+        track_stops(
+            spark.createDataFrame(pdf),
+            key_col="uid",
+            ts_col="ts",
+            lat_col="lat",
+            lon_col="lon",
+            max_leg_km=50.0,
+            min_points=2,
+            order_tiebreak="eid",
+        )
+        .toPandas()
+        .sort_values(["uid", "stop_seq"], ignore_index=True)
+    )
+    exp = _brute_stops(pdf, max_units=50_000_000, min_points=2).sort_values(
+        ["uid", "stop_seq"], ignore_index=True
+    )
+    assert out[["uid", "stop_seq", "n_points"]].astype("int64").values.tolist() == \
+        exp.astype("int64").values.tolist()
+
+
+def test_track_stops_single_shuffle(spark):
+    from harvester_fgp_spark.operators.geo import track_stops
+
+    df = spark.range(200).select(
+        (F.col("id") % 5).alias("uid"),
+        F.col("id").alias("eid"),
+        F.col("id").cast("timestamp").alias("ts"),
+        (F.col("id") % 70).cast("double").alias("lat"),
+        (F.col("id") % 150).cast("double").alias("lon"),
+    )
+    out = track_stops(
+        df, key_col="uid", ts_col="ts", lat_col="lat", lon_col="lon",
+        order_tiebreak="eid",
+    )
+    plan = plan_string(out)
+    # lag window, running-sum window and the (uid, stop) groupBy all
+    # satisfy their distribution from ONE hash exchange on uid
+    assert plan.count("Exchange hashpartitioning") == 1, plan
