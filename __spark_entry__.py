@@ -2161,6 +2161,68 @@ def _q_track_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_polygon_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 Douglas-Peucker over deterministic spiky 48-gons: the
+    near-collinear arc points simplify away, the spikes survive. Output
+    counts + an exact micro-coordinate digest of the simplified rings —
+    deterministic (argmax ties resolve to the first index) but the
+    kernel is recursive, hence rows-only (pytest holds the parity and
+    invariant coverage: tests/test_round6_ops.py)."""
+    import math
+
+    i = F.col("id")
+    polys = spark.range(20).select(
+        i.alias("pid"),
+        (((i * 13) % 70).cast("double") - F.lit(100.0)).alias("cx"),
+        (((i * 11) % 25).cast("double") + F.lit(42.0)).alias("cy"),
+        (F.lit(1.0) + (i % 4).cast("double") * F.lit(0.5)).alias("r"),
+    )
+    k = 48
+    two_pi = F.lit(2.0 * math.pi)
+    ring = F.transform(
+        F.sequence(F.lit(0), F.lit(k)),
+        lambda j: F.struct(
+            (
+                F.col("cx")
+                + F.col("r")
+                * (
+                    F.lit(1.0)
+                    + F.when((j % 8) == 0, F.lit(0.4)).otherwise(F.lit(0.0))
+                )
+                * F.cos(two_pi * (j % k) / F.lit(float(k)))
+            ).alias("x"),
+            (
+                F.col("cy")
+                + F.lit(0.7)
+                * F.col("r")
+                * (
+                    F.lit(1.0)
+                    + F.when((j % 8) == 0, F.lit(0.4)).otherwise(F.lit(0.0))
+                )
+                * F.sin(two_pi * (j % k) / F.lit(float(k)))
+            ).alias("y"),
+        ),
+    )
+    from harvester_fgp_spark.operators.geo import simplify_rings
+
+    out = simplify_rings(polys.withColumn("ring", ring), tol=0.05)
+    digest = F.aggregate(
+        F.transform(
+            F.col("ring_simplified"),
+            lambda z: (F.round(z["x"] * 1000000) + F.round(z["y"] * 1000000))
+            .cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    return out.select(
+        "pid",
+        F.size("ring").cast("long").alias("n_before"),
+        F.size("ring_simplified").cast("long").alias("n_after"),
+        digest.alias("digest_micro"),
+    )
+
+
 def _q_freq_items_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter sketch QUALITY under the exact gate (the
     approx_distinct_bound pattern applied to freqItems): the sketch's
@@ -2307,6 +2369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approx_distinct_bound / approx_quantile_bound)
         "track_stops": _q_track_stops,
         "freq_items_bound": _q_freq_items_bound,
+        # round 6 tail: Douglas-Peucker simplification (recursive kernel,
+        # rows-only by design; pytest parity + invariants)
+        "polygon_simplify": _q_polygon_simplify,
         "text_tokens": _q_text_tokens,
         "multimodal_binary": _q_multimodal_binary,
         "stats_median": _q_stats_median,

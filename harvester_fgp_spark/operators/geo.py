@@ -1050,3 +1050,50 @@ def track_stops(
         "sum_clat",
         "sum_clon",
     )
+
+
+# --- G10: Douglas-Peucker ring simplification (Arrow-batched kernel) ---------------
+
+
+def simplify_rings(
+    df: DataFrame,
+    ring_col: str = "ring",
+    tol: float = 0.05,
+    out_col: str = "ring_simplified",
+) -> DataFrame:
+    """Douglas-Peucker simplification of a ``array<struct<x,y>>`` ring
+    column (geo/simplify.py kernel) — the vector-side companion of the
+    rasterizer: ships fewer vertices into PIP index builds and tile
+    covers when collection polygons are over-digitized.
+
+    Spark shape: the ring explodes to two parallel ``array<double>``
+    columns natively (``transform``), one Arrow-batched pandas UDF
+    returns the keep-MASK (array<boolean>), and the simplified ring is
+    rebuilt natively by ``filter(arrays_zip(...))`` — the Python
+    boundary carries only doubles in / booleans out, never structs.
+    Per-row kernel cost is O(n log n) on vertex count; batches amortize
+    Arrow transfer exactly like the G2 cover UDF.
+    """
+    from pyspark.sql.types import BooleanType
+
+    from ..geo import simplify as _simplify
+
+    @pandas_udf(ArrayType(BooleanType()))
+    def _mask(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(xs, ys):
+            out.append(
+                _simplify.simplify_mask(
+                    np.asarray(x, float), np.asarray(y, float), tol
+                ).tolist()
+            )
+        return pd.Series(out)
+
+    xs = F.transform(F.col(ring_col), lambda p: p["x"])
+    ys = F.transform(F.col(ring_col), lambda p: p["y"])
+    with_mask = df.withColumn("_keep", _mask(xs, ys))
+    zipped = F.arrays_zip(F.col(ring_col).alias("p"), F.col("_keep").alias("k"))
+    rebuilt = F.transform(
+        F.filter(zipped, lambda z: z["k"]), lambda z: z["p"]
+    )
+    return with_mask.withColumn(out_col, rebuilt).drop("_keep")
