@@ -2161,6 +2161,49 @@ def _q_track_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: box-box spatial join via cover-cell equi-join + canonical-cell
+    pair dedup (each pair reports only at the top-left cell of its
+    covers' intersection — computable per pair, so no shuffling
+    distinct) + exact overlap filter. Value-checked against DuckDB's
+    plain theta join; the no-NLJ plan shape is pytest-asserted."""
+    i = F.col("id")
+    b = spark.range(60).select(
+        i.alias("bid"),
+        ((i * 23) % 100 - F.lit(130)).cast("double").alias("west"),
+        ((i * 13) % 30 + F.lit(40)).cast("double").alias("south"),
+        ((i * 23) % 100 - F.lit(130) + (i % 9) + F.lit(1))
+        .cast("double")
+        .alias("east"),
+        ((i * 13) % 30 + F.lit(40) + (i % 6) + F.lit(1))
+        .cast("double")
+        .alias("north"),
+    )
+    a = D.boxes(spark)
+    out = G.bbox_overlap_join(a, b, level=7, a_id="box_id", b_id="bid")
+    return out.select(
+        "box_id", "bid", "o_west", "o_south", "o_east", "o_north", "o_area"
+    )
+
+
+def _q_geohash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1b adjacency: each sampled point's geohash cell + its sorted
+    8-neighborhood (lon wraps at the antimeridian, lat neighbors past a
+    pole drop) — the expand-then-prefix-join primitive for geohash
+    kNN/radius queries, value-checked against the DuckDB offsets-table
+    longhand (array stringified per the canonicalizer rule)."""
+    pts = D.points_from_documents(spark, sf_dir).filter(
+        F.col("doc_id") % 7 == 0
+    )
+    return pts.select(
+        "doc_id",
+        G.geohash_col(F.col("lon"), F.col("lat"), 6).alias("gh6"),
+        F.concat_ws(
+            ",", G.geohash_neighbors_col(F.col("lon"), F.col("lat"), 6)
+        ).alias("neighbors"),
+    )
+
+
 def _q_polygon_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G10 Douglas-Peucker over deterministic spiky 48-gons: the
     near-collinear arc points simplify away, the spikes survive. Output
@@ -2372,6 +2415,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 6 tail: Douglas-Peucker simplification (recursive kernel,
         # rows-only by design; pytest parity + invariants)
         "polygon_simplify": _q_polygon_simplify,
+        # round 6 tail: geohash 8-neighborhood (geohash family)
+        "geohash_neighbors": _q_geohash_neighbors,
+        # round 6 tail: box-box spatial join (J family; the point-in-box
+        # member geo_box_join keeps the window slot)
+        "bbox_overlap_join": _q_bbox_overlap_join,
         "text_tokens": _q_text_tokens,
         "multimodal_binary": _q_multimodal_binary,
         "stats_median": _q_stats_median,
@@ -2537,6 +2585,7 @@ def oracle_sql() -> dict[str, str]:
     )
     # round 6: geohash longhand parts + inverse-slippy pieces
     ghp = G.geohash_sql_parts("lon", "lat", 6)
+    ghn = G.geohash_sql_parts("lon", "lat", 6, "lonq2", "latq2")
     tile_n = float(1 << TILE_Z)
     tile_lat_t = f"(PI() * (1.0 - 2.0 * {{yy}} / {tile_n}))"
 
@@ -4246,6 +4295,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS in_sketch
             FROM c
             WHERE exact_cnt > 0.1 * (SELECT SUM(exact_cnt) FROM c)
+        """,
+        "geohash_neighbors": f"""
+            WITH pts AS ({pts}),
+            sel AS (
+                SELECT doc_id, lon, lat FROM pts WHERE doc_id % 7 = 0
+            ),
+            q AS (
+                SELECT doc_id, {ghp["lonq"]} AS lonq, {ghp["latq"]} AS latq
+                FROM sel
+            ),
+            ctr AS (SELECT doc_id, {ghp["word"]} AS gword FROM q),
+            self AS (SELECT doc_id, {ghp["chars"]} AS gh6 FROM ctr),
+            off AS (
+                SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                                      (1,-1),(1,0),(1,1)) o(dx, dy)
+            ),
+            nbq AS (
+                SELECT doc_id,
+                       ((lonq + dx) + 32768) % 32768 AS lonq2,
+                       latq + dy AS latq2
+                FROM q CROSS JOIN off
+                WHERE latq + dy >= 0 AND latq + dy < 32768
+            ),
+            nbw AS (
+                SELECT doc_id, {ghn["word"]} AS gword FROM nbq
+            ),
+            nbg AS (SELECT doc_id, {ghn["chars"]} AS gh FROM nbw),
+            agg AS (
+                SELECT doc_id,
+                       array_to_string(list(gh ORDER BY gh), ',') AS neighbors
+                FROM nbg GROUP BY doc_id
+            )
+            SELECT s.doc_id, s.gh6, a.neighbors
+            FROM self s JOIN agg a USING (doc_id)
+        """,
+        "bbox_overlap_join": f"""
+            WITH a AS ({boxes}),
+            b AS (
+                SELECT i AS bid,
+                       CAST((i * 23) % 100 - 130 AS DOUBLE) AS west,
+                       CAST((i * 13) % 30 + 40 AS DOUBLE) AS south,
+                       CAST((i * 23) % 100 - 130 + (i % 9) + 1 AS DOUBLE)
+                           AS east,
+                       CAST((i * 13) % 30 + 40 + (i % 6) + 1 AS DOUBLE)
+                           AS north
+                FROM range(60) t(i)
+            )
+            SELECT a.box_id, b.bid,
+                   GREATEST(a.west, b.west) AS o_west,
+                   GREATEST(a.south, b.south) AS o_south,
+                   LEAST(a.east, b.east) AS o_east,
+                   LEAST(a.north, b.north) AS o_north,
+                   (LEAST(a.east, b.east) - GREATEST(a.west, b.west))
+                   * (LEAST(a.north, b.north) - GREATEST(a.south, b.south))
+                       AS o_area
+            FROM a JOIN b
+              ON a.west <= b.east AND b.west <= a.east
+             AND a.south <= b.north AND b.south <= a.north
         """,
         # dedup_minhash / dedup_simhash / ann_lsh / ann_ivf /
         # approx_distinct_users / polygon_tiles / pipeline_flagship:

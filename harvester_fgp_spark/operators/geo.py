@@ -762,15 +762,30 @@ def geohash_col(lon: Column, lat: Column, precision: int = 6) -> Column:
     engine an interchange cell id alongside the S2-style Morton cell —
     prefix joins and range scans work identically on either.
     """
+    lon_q, lat_q = _geohash_quantize(lon, lat, precision)
+    return _geohash_chars(lon_q, lat_q, precision)
+
+
+def _geohash_precision_check(precision: int) -> int:
     if precision % 2 != 0 or not (2 <= precision <= 12):
         raise ValueError("precision must be even, in [2, 12]")
-    half_bits = 5 * precision // 2
+    return 5 * precision // 2
+
+
+def _geohash_quantize(
+    lon: Column, lat: Column, precision: int
+) -> "tuple[Column, Column]":
+    half_bits = _geohash_precision_check(precision)
     n = float(1 << half_bits)
     nmax = F.lit((1 << half_bits) - 1)
     lon_q = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
     lat_q = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(n))
     lon_q = F.greatest(F.lit(0), F.least(nmax, lon_q)).cast("long")
     lat_q = F.greatest(F.lit(0), F.least(nmax, lat_q)).cast("long")
+    return lon_q, lat_q
+
+
+def _geohash_chars(lon_q: Column, lat_q: Column, precision: int) -> Column:
     # geohash bit 0 (MSB) is a lon bit; with even total bits the MSB sits
     # at an odd LSB-position, so lon takes the shifted spread lane
     word = _spread_bits_col(lat_q).bitwiseOR(
@@ -792,23 +807,58 @@ def geohash_col(lon: Column, lat: Column, precision: int = 6) -> Column:
     return F.concat(*chars)
 
 
+def geohash_neighbors_col(
+    lon: Column, lat: Column, precision: int = 6
+) -> Column:
+    """The 8-neighborhood of a point's geohash cell as a SORTED
+    ``array<string>`` — fully native. Longitude wraps across the
+    antimeridian (mod-n on the quantized index); latitude neighbors past
+    a pole are dropped (no wraparound), so polar cells emit 5.
+
+    With the prefix property this is the standard expand-then-prefix-join
+    pattern for geohash kNN / radius queries: a point's candidates live
+    in its own cell + these neighbors at a precision matched to the
+    radius.
+    """
+    half_bits = _geohash_precision_check(precision)
+    n = 1 << half_bits
+    lon_q, lat_q = _geohash_quantize(lon, lat, precision)
+    out = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            lq = ((lon_q + F.lit(dx)) + F.lit(n)) % F.lit(n)
+            tq = lat_q + F.lit(dy)
+            gh = _geohash_chars(lq, tq, precision)
+            out.append(
+                F.when((tq >= 0) & (tq < F.lit(n)), gh).otherwise(F.lit(None))
+            )
+    return F.array_sort(
+        F.filter(F.array(*out), lambda x: x.isNotNull())
+    )
+
+
 def geohash_sql_parts(
-    lon_expr: str, lat_expr: str, precision: int = 6
+    lon_expr: str,
+    lat_expr: str,
+    precision: int = 6,
+    lonq_name: str = "lonq",
+    latq_name: str = "latq",
 ) -> "dict[str, str]":
     """DuckDB longhand twin of ``geohash_col``, as composable CTE pieces
     (same IEEE op order for the quantization, explicit shift/mask
     interleave terms, substr-based base32 lookup). Returns exprs for:
     ``lonq``/``latq`` over (lon, lat); ``word`` over columns named
-    lonq/latq; ``chars`` over a column named gword. Generated next to the
-    native builder so Spark and oracle cannot drift."""
-    if precision % 2 != 0 or not (2 <= precision <= 12):
-        raise ValueError("precision must be even, in [2, 12]")
-    half_bits = 5 * precision // 2
+    ``lonq_name``/``latq_name``; ``chars`` over a column named gword.
+    Generated next to the native builder so Spark and oracle cannot
+    drift."""
+    half_bits = _geohash_precision_check(precision)
     n = 1 << half_bits
     terms = []
     for b in range(half_bits):
-        terms.append(f"(((latq >> {b}) & 1) << {2 * b})")
-        terms.append(f"(((lonq >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"((({latq_name} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({lonq_name} >> {b}) & 1) << {2 * b + 1})")
     chars = [
         f"substr('{GEOHASH_BASE32}',"
         f" CAST((gword >> {5 * (precision - 1 - i)}) & 31 AS INT) + 1, 1)"
@@ -1097,3 +1147,93 @@ def simplify_rings(
         F.filter(zipped, lambda z: z["k"]), lambda z: z["p"]
     )
     return with_mask.withColumn(out_col, rebuilt).drop("_keep")
+
+
+# --- J9: bbox overlap join (2D spatial join, no nested loop) -----------------------
+
+
+def bbox_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    level: int = 7,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+) -> DataFrame:
+    """Box-box intersection join WITHOUT a BroadcastNestedLoopJoin: both
+    sides explode to their level-``level`` grid cover cells, candidates
+    come from an equi-join on the cell, and the exact overlap test
+    (``west_a <= east_b AND west_b <= east_a AND ...``) removes cover
+    false positives.
+
+    The classic duplicate problem — an overlapping pair shares MANY
+    cover cells — is solved without a shuffling ``distinct``: a pair is
+    REPORTED only at its canonical cell, the top-left cell of the two
+    covers' intersection, which each pair can compute from its own
+    coordinates (``gx == max(ax0, bx0) AND gy == max(ay0, by0)``). One
+    equi-join, no dedup pass, no row explosion beyond the covers.
+
+    Inputs need columns (id, west, south, east, north), non-wrapped
+    (dateline boxes: split first, as the cover path does). Output: one
+    row per intersecting pair with the exact overlap rectangle and its
+    planar area (single exactly-rounded IEEE ops — oracle-safe).
+
+    Scale: cover fan-out is O(box perimeter / cell size) per side; the
+    join shuffles on an int cell key so AQE skew-split applies to dense
+    cells. Pick ``level`` so typical boxes cover a handful of cells.
+    """
+    from ..plans.derived import grid_xy_cols
+
+    def _cover(df: DataFrame, pre: str) -> DataFrame:
+        x0, y1 = grid_xy_cols(F.col("west"), F.col("south"), level)
+        x1, y0 = grid_xy_cols(F.col("east"), F.col("north"), level)
+        return (
+            df.select(
+                *[F.col(c).alias(f"{pre}{c}") for c in df.columns],
+                x0.alias(f"{pre}x0"),
+                x1.alias(f"{pre}x1"),
+                y0.alias(f"{pre}y0"),
+                y1.alias(f"{pre}y1"),
+            )
+            .withColumn(
+                f"{pre}gx",
+                F.explode(F.sequence(F.col(f"{pre}x0"), F.col(f"{pre}x1"))),
+            )
+            .withColumn(
+                f"{pre}gy",
+                F.explode(F.sequence(F.col(f"{pre}y0"), F.col(f"{pre}y1"))),
+            )
+        )
+
+    ca = _cover(a, "a_")
+    cb = _cover(b, "b_")
+    j = ca.join(
+        cb,
+        (F.col("a_gx") == F.col("b_gx")) & (F.col("a_gy") == F.col("b_gy")),
+        "inner",
+    )
+    exact = (
+        (F.col("a_west") <= F.col("b_east"))
+        & (F.col("b_west") <= F.col("a_east"))
+        & (F.col("a_south") <= F.col("b_north"))
+        & (F.col("b_south") <= F.col("a_north"))
+    )
+    canonical = (
+        (F.col("a_gx") == F.greatest(F.col("a_x0"), F.col("b_x0")))
+        & (F.col("a_gy") == F.greatest(F.col("a_y0"), F.col("b_y0")))
+    )
+    ow = F.greatest(F.col("a_west"), F.col("b_west"))
+    oe = F.least(F.col("a_east"), F.col("b_east"))
+    os_ = F.greatest(F.col("a_south"), F.col("b_south"))
+    on = F.least(F.col("a_north"), F.col("b_north"))
+    return (
+        j.filter(exact & canonical)
+        .select(
+            F.col(f"a_{a.columns[0]}").alias(a_id),
+            F.col(f"b_{b.columns[0]}").alias(b_id),
+            ow.alias("o_west"),
+            os_.alias("o_south"),
+            oe.alias("o_east"),
+            on.alias("o_north"),
+            ((oe - ow) * (on - os_)).alias("o_area"),
+        )
+    )

@@ -561,3 +561,128 @@ def test_simplify_rings_spark_roundtrip(spark):
     # closing vertex structure preserved: first == last == original first
     for r in pdf.itertuples(index=False):
         assert r.first == r.ofirst and r.last == r.ofirst
+
+
+# --- geohash neighbors ------------------------------------------------------
+
+
+def test_geohash_neighbors_matches_reference(spark):
+    from harvester_fgp_spark.operators.geo import geohash_neighbors_col
+
+    n = 1 << 15  # precision-6 half-bits
+    dlon, dlat = 360.0 / n, 180.0 / n
+
+    def _ref_neighbors(lat, lon):
+        # quantize like the kernel, then re-encode offset CELL CENTERS
+        lonq = min(n - 1, max(0, int(np.floor((lon + 180.0) / 360.0 * n))))
+        latq = min(n - 1, max(0, int(np.floor((lat + 90.0) / 180.0 * n))))
+        out = set()
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == dy == 0:
+                    continue
+                lq = (lonq + dx + n) % n
+                tq = latq + dy
+                if not (0 <= tq < n):
+                    continue
+                clon = (lq + 0.5) * dlon - 180.0
+                clat = (tq + 0.5) * dlat - 90.0
+                out.add(_ref_geohash(clat, clon, 6))
+        return sorted(out)
+
+    cases = [
+        (45.0, -75.0),
+        (0.0, 0.0),
+        (89.999, 10.0),     # top lat row -> pole side drops to 5
+        (-89.999, 10.0),    # bottom row
+        (12.0, 179.999),    # antimeridian wrap
+        (12.0, -180.0),
+        (-33.3, 151.2),
+    ]
+    df = spark.createDataFrame(cases, "lat double, lon double").select(
+        "lat",
+        "lon",
+        geohash_neighbors_col(F.col("lon"), F.col("lat"), 6).alias("nb"),
+    )
+    for r in df.toPandas().itertuples(index=False):
+        assert list(r.nb) == _ref_neighbors(r.lat, r.lon), (r.lat, r.lon)
+    # polar rows have 5 neighbors, interior rows 8
+    got = {(r.lat, r.lon): len(r.nb) for r in df.toPandas().itertuples(index=False)}
+    assert got[(89.999, 10.0)] == 5 and got[(45.0, -75.0)] == 8
+
+
+def test_geohash_neighbors_adjacent_cells_share_border(spark):
+    from harvester_fgp_spark.operators.geo import (
+        geohash_col,
+        geohash_neighbors_col,
+    )
+
+    # a point's east neighbor cell contains the point shifted one cell east
+    n = 1 << 15
+    dlon = 360.0 / n
+    df = spark.createDataFrame(
+        [(45.0, -75.0)], "lat double, lon double"
+    ).select(
+        geohash_neighbors_col(F.col("lon"), F.col("lat"), 6).alias("nb"),
+        geohash_col(F.col("lon") + dlon, F.col("lat"), 6).alias("east"),
+        geohash_col(F.col("lon"), F.col("lat"), 6).alias("self"),
+    )
+    r = df.toPandas().iloc[0]
+    assert r.east in list(r.nb) and r.self not in list(r.nb)
+
+
+# --- bbox overlap join ------------------------------------------------------
+
+
+def test_bbox_overlap_join_matches_bruteforce(spark):
+    from harvester_fgp_spark.operators.geo import bbox_overlap_join
+
+    rng = np.random.default_rng(17)
+    def _mk(n, seed_shift):
+        w = rng.uniform(-170, 150, n)
+        s = rng.uniform(-80, 70, n)
+        return pd.DataFrame(
+            {
+                "id": np.arange(n, dtype="int64") + seed_shift,
+                "west": w,
+                "south": s,
+                "east": w + rng.uniform(0.1, 20, n),
+                "north": s + rng.uniform(0.1, 15, n),
+            }
+        )
+
+    pa, pb = _mk(120, 0), _mk(150, 1000)
+    out = (
+        bbox_overlap_join(
+            spark.createDataFrame(pa), spark.createDataFrame(pb), level=6
+        )
+        .select("a_id", "b_id")
+        .toPandas()
+    )
+    got = set(map(tuple, out.values.tolist()))
+    exp = set()
+    for ra in pa.itertuples(index=False):
+        for rb in pb.itertuples(index=False):
+            if (
+                ra.west <= rb.east and rb.west <= ra.east
+                and ra.south <= rb.north and rb.south <= ra.north
+            ):
+                exp.add((ra.id, rb.id))
+    assert got == exp
+    # exactly once per pair (canonical-cell dedup, no distinct)
+    assert len(out) == len(got)
+
+
+def test_bbox_overlap_join_no_nested_loop(spark):
+    from harvester_fgp_spark.operators.geo import bbox_overlap_join
+
+    a = spark.range(50).select(
+        F.col("id"),
+        (F.col("id") % 30).cast("double").alias("west"),
+        (F.col("id") % 20).cast("double").alias("south"),
+        ((F.col("id") % 30) + 2.0).alias("east"),
+        ((F.col("id") % 20) + 2.0).alias("north"),
+    )
+    plan = plan_string(bbox_overlap_join(a, a, level=6))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
