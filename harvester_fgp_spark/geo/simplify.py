@@ -61,3 +61,36 @@ def simplify_ring(
     """Simplified copies of (xs, ys) (rows where the mask keeps them)."""
     m = simplify_mask(np.asarray(xs, float), np.asarray(ys, float), tol)
     return np.asarray(xs, float)[m], np.asarray(ys, float)[m]
+
+
+def simplify_polygons_pdf(ppdf, tol: float):
+    """Driver-side simplification of the polygons dim table (pandas form,
+    FIXTURES.md §2) before the broadcast PolygonIndex build — fewer
+    vertices shrink the broadcast payload and the per-point ray-cast
+    work; bboxes are untouched (simplification never widens coverage
+    pruning).
+
+    Rings arrive CLOSED (first == last); the kernel always keeps both
+    endpoints, so closure is preserved. A ring whose simplified form
+    drops below 4 points (3 distinct + closing) is kept unsimplified —
+    a degenerate 2-point "ring" would silently empty its polygon.
+    Handles both the single ``ring`` column and the multi-ring
+    ``rings`` column (holes / multipolygon parts).
+    """
+
+    def _one(ring):
+        xs = np.array([p["x"] for p in ring], dtype=float)
+        ys = np.array([p["y"] for p in ring], dtype=float)
+        m = simplify_mask(xs, ys, tol)
+        if int(m.sum()) < 4:
+            return ring
+        return [p for p, k in zip(ring, m) if k]
+
+    out = ppdf.copy()
+    out["ring"] = [_one(r) for r in out["ring"]]
+    if "rings" in out.columns:
+        out["rings"] = [
+            [_one(r) for r in rings] if rings is not None else rings
+            for rings in out["rings"]
+        ]
+    return out

@@ -87,6 +87,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         help="with --vacuum-checkpoint on a partitioned checkpoint dir: "
         "vacuum only these run_ids (retention hook)",
     )
+    p.add_argument(
+        "--simplify-tol", type=float, default=None,
+        help="Douglas-Peucker tolerance (degrees) applied to the polygon "
+             "dim table before the broadcast PIP index build — shrinks "
+             "the broadcast payload and per-point ray-cast work; rings "
+             "that would degenerate (<4 points) stay unsimplified.",
+    )
     p.add_argument("--cell-level", type=int, default=12)
     p.add_argument("--tile-z", type=int, default=8)
     p.add_argument("--snapshot-id", type=int, default=None)
@@ -113,6 +120,14 @@ def main(argv: list[str]) -> None:
         ppdf = generate_polygons(int(args.polygons.split(":", 1)[1]), seed=42)
     else:
         ppdf = spark.read.parquet(args.polygons).toPandas()  # noqa: small dim table
+    if args.simplify_tol is not None:
+        from harvester_fgp_spark.geo.simplify import simplify_polygons_pdf
+
+        before = sum(len(r) for r in ppdf["ring"])
+        ppdf = simplify_polygons_pdf(ppdf, args.simplify_tol)
+        after = sum(len(r) for r in ppdf["ring"])
+        print(f"simplify: outer-ring vertices {before} -> {after} "
+              f"(tol={args.simplify_tol})")
 
     if args.stream:
         from harvester_fgp_spark.streaming.pipeline import (

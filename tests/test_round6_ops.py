@@ -686,3 +686,37 @@ def test_bbox_overlap_join_no_nested_loop(spark):
     plan = plan_string(bbox_overlap_join(a, a, level=6))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- driver-side polygon dim-table simplification ---------------------------
+
+
+def test_simplify_polygons_pdf_preserves_structure(spark):
+    from harvester_fgp_spark.geo.simplify import simplify_polygons_pdf
+    from harvester_fgp_spark.operators.geo import build_polygon_index
+    from harvester_fgp_spark.synth import generate_polygons
+
+    ppdf = generate_polygons(40, seed=42, holes=True)
+    simp = simplify_polygons_pdf(ppdf, 0.05)
+    nb = sum(len(r) for r in ppdf["ring"])
+    na = sum(len(r) for r in simp["ring"])
+    assert na <= nb
+    for orig, s in zip(ppdf["ring"], simp["ring"]):
+        assert len(s) >= 4
+        assert s[0] == orig[0] and s[-1] == orig[-1]  # closure kept
+    # multi-ring column simplified too, and the index still builds
+    assert all(
+        all(len(r) >= 4 for r in rings) for rings in simp["rings"]
+    )
+    idx = build_polygon_index(simp)
+    assert len(idx.polygon_ids) == 40
+
+
+def test_pipeline_cli_accepts_simplify_tol():
+    from jobs.run_pipeline import parse_args
+
+    a = parse_args(
+        ["--pages", "x", "--out", "y", "--checkpoint", "z",
+         "--run-id", "r", "--simplify-tol", "0.1"]
+    )
+    assert a.simplify_tol == 0.1
