@@ -224,10 +224,19 @@ def _q_polygon_raster_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast as joins + parity aggregate, zero Python) — value-checked
     against the same construction longhand in DuckDB. Graduates polygon
     rasterization from rows-only to an exact oracle row."""
+    return G.rasterize_vertices_native(_raster_verts(spark), _RASTER_Z)
+
+
+_RASTER_Z = 7
+
+
+def _raster_verts(spark: SparkSession) -> DataFrame:
+    """The derived k-gon vertex table (tile units, z=_RASTER_Z) shared by
+    polygon_raster_sql and tile_regions — one construction, one DuckDB
+    longhand, so the two oracles cannot drift."""
     import math
 
-    z = 7
-    n = float(1 << z)
+    n = float(1 << _RASTER_Z)
     i = F.col("id")
     polys = spark.range(12).select(
         i.alias("pid"),
@@ -246,8 +255,59 @@ def _q_polygon_raster_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     vy = F.round(
         (F.lit(1.0) - asinh_t / F.lit(math.pi)) / F.lit(2.0) * F.lit(n), 9
     )
-    verts = v.select("pid", "k", "j", vx.alias("vx"), vy.alias("vy"))
-    return G.rasterize_vertices_native(verts, z)
+    return v.select("pid", "k", "j", vx.alias("vx"), vy.alias("vy"))
+
+
+def _q_tile_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7c raster -> VECTOR: contiguous assigned-tile regions via
+    connected components on 4-adjacency (the inverse of rasterization —
+    "vectorize the raster mask"). Tile set = the declarative rasterizer
+    over the shared k-gons; adjacency = two equi-joins (east, south —
+    an OR join would nested-loop); components via the exact-terminating
+    contraction (operators/dedup). region_id = min packed tile id, so
+    the DuckDB recursive-CTE closure is an exact twin."""
+    from harvester_fgp_spark.operators.dedup import connected_components
+
+    n = 1 << _RASTER_Z
+    tiles = G.rasterize_vertices_native(_raster_verts(spark), _RASTER_Z)
+    t = (
+        tiles.select("tile_x", "tile_y")
+        .distinct()
+        .withColumn(
+            "tid", (F.col("tile_x") * F.lit(n) + F.col("tile_y")).cast("long")
+        )
+        .localCheckpoint()
+    )
+    a = t.select(
+        F.col("tile_x").alias("ax"),
+        F.col("tile_y").alias("ay"),
+        F.col("tid").alias("id_a"),
+    )
+    b = t.select(
+        F.col("tile_x").alias("bx"),
+        F.col("tile_y").alias("by"),
+        F.col("tid").alias("id_b"),
+    )
+    east = a.join(
+        b, (F.col("bx") == F.col("ax") + 1) & (F.col("by") == F.col("ay"))
+    ).select("id_a", "id_b")
+    south = a.join(
+        b, (F.col("bx") == F.col("ax")) & (F.col("by") == F.col("ay") + 1)
+    ).select("id_a", "id_b")
+    cc = connected_components(
+        t.select(F.col("tid").alias("doc_id")), east.unionByName(south)
+    )
+    return (
+        cc.join(t, cc["doc_id"] == t["tid"])
+        .groupBy(F.col("cluster_id").alias("region_id"))
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.min("tile_x").cast("long").alias("min_x"),
+            F.max("tile_x").cast("long").alias("max_x"),
+            F.min("tile_y").cast("long").alias("min_y"),
+            F.max("tile_y").cast("long").alias("max_y"),
+        )
+    )
 
 
 def _q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2420,6 +2480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 6 tail: box-box spatial join (J family; the point-in-box
         # member geo_box_join keeps the window slot)
         "bbox_overlap_join": _q_bbox_overlap_join,
+        # round 6 tail: raster -> vector region extraction (G7 family)
+        "tile_regions": _q_tile_regions,
         "text_tokens": _q_text_tokens,
         "multimodal_binary": _q_multimodal_binary,
         "stats_median": _q_stats_median,
@@ -2584,6 +2646,100 @@ def oracle_sql() -> dict[str, str]:
         ")))"
     )
     # round 6: geohash longhand parts + inverse-slippy pieces
+    raster_ctes = f"""p AS (
+                SELECT i AS pid,
+                       CAST((i * 17) % 80 AS DOUBLE) - 110.0 AS cx,
+                       CAST((i * 7) % 30 AS DOUBLE) + 40.0 AS cy,
+                       1.5 + CAST(i % 5 AS DOUBLE) * 0.7 AS r,
+                       5 + i % 4 AS k
+                FROM range(12) t(i)
+            ),
+            v0 AS (
+                SELECT pid, k, UNNEST(range(0, k)) AS j, cx, cy, r FROM p
+            ),
+            ll AS (
+                SELECT pid, k, j,
+                       ROUND(cx + r * COS(2 * PI() * j / k), 6) AS lon,
+                       ROUND(cy + 0.6 * r * SIN(2 * PI() * j / k), 6) AS lat
+                FROM v0
+            ),
+            vv AS (
+                SELECT pid, k, j,
+                       ROUND((lon + 180.0) / 360.0 * {float(1 << 7)}, 9) AS vx,
+                       ROUND((1.0 - LN(TAN(RADIANS(lat))
+                             + SQRT(TAN(RADIANS(lat)) * TAN(RADIANS(lat)) + 1.0))
+                             / PI()) / 2.0 * {float(1 << 7)}, 9) AS vy
+                FROM ll
+            ),
+            edges AS (
+                SELECT a.pid, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+                FROM vv a JOIN vv b
+                  ON a.pid = b.pid AND b.j = (a.j + 1) % a.k
+            ),
+            bbox AS (
+                SELECT pid,
+                       GREATEST(0, LEAST(127, CAST(FLOOR(MIN(vx)) AS BIGINT))) AS gx0,
+                       GREATEST(0, LEAST(127, CAST(FLOOR(MAX(vx)) AS BIGINT))) AS gx1,
+                       GREATEST(0, LEAST(127, CAST(FLOOR(MIN(vy)) AS BIGINT))) AS gy0,
+                       GREATEST(0, LEAST(127, CAST(FLOOR(MAX(vy)) AS BIGINT))) AS gy1
+                FROM vv GROUP BY pid
+            ),
+            cx0 AS (
+                SELECT pid, gy0, gy1, UNNEST(range(gx0, gx1 + 1)) AS gx FROM bbox
+            ),
+            cand AS (
+                SELECT pid, gx, UNNEST(range(gy0, gy1 + 1)) AS gy FROM cx0
+            ),
+            crossings AS (
+                SELECT c.pid, c.gx, c.gy,
+                       SUM(CASE WHEN ((y1 > c.gy + 0.5) != (y2 > c.gy + 0.5))
+                                 AND c.gx + 0.5 <
+                                     x1 + (c.gy + 0.5 - y1) * (x2 - x1) / (y2 - y1)
+                                THEN 1 ELSE 0 END) AS n_cross
+                FROM cand c JOIN edges e ON c.pid = e.pid
+                GROUP BY 1, 2, 3
+            ),
+            inside AS (
+                SELECT pid, gx, gy FROM crossings WHERE n_cross % 2 = 1
+            ),
+            -- per-edge SUPERCOVER (exact overlap, mirrors the Spark
+            -- expression order): crossed columns, then the row span from
+            -- linear interpolation at the column boundary x's
+            ecols AS (
+                SELECT pid, x1, y1, x2, y2,
+                       UNNEST(range(
+                           GREATEST(0, LEAST(127,
+                               CAST(FLOOR(LEAST(x1, x2)) AS BIGINT))),
+                           GREATEST(0, LEAST(127,
+                               CAST(FLOOR(GREATEST(x1, x2)) AS BIGINT))) + 1
+                       )) AS gx
+                FROM edges
+            ),
+            espan AS (
+                SELECT pid, gx,
+                       CASE WHEN x1 = x2 THEN y1 ELSE
+                           y1 + (LEAST(GREATEST(LEAST(x1, x2),
+                                                CAST(gx AS DOUBLE)),
+                                       GREATEST(x1, x2))
+                                 - x1) * (y2 - y1) / (x2 - x1) END AS ya,
+                       CASE WHEN x1 = x2 THEN y2 ELSE
+                           y1 + (GREATEST(LEAST(GREATEST(x1, x2),
+                                                CAST(gx AS DOUBLE) + 1.0),
+                                          LEAST(x1, x2))
+                                 - x1) * (y2 - y1) / (x2 - x1) END AS yb
+                FROM ecols
+            ),
+            sc AS (
+                SELECT pid, gx,
+                       UNNEST(range(
+                           GREATEST(0, LEAST(127,
+                               CAST(FLOOR(LEAST(ya, yb)) AS BIGINT))),
+                           GREATEST(0, LEAST(127,
+                               CAST(FLOOR(GREATEST(ya, yb)) AS BIGINT))) + 1
+                       )) AS gy
+                FROM espan
+            ),
+            tiles AS (SELECT * FROM inside UNION SELECT * FROM sc)"""
     ghp = G.geohash_sql_parts("lon", "lat", 6)
     ghn = G.geohash_sql_parts("lon", "lat", 6, "lonq2", "latq2")
     tile_n = float(1 << TILE_Z)
@@ -3023,100 +3179,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
         """,
         "polygon_raster_sql": f"""
-            WITH p AS (
-                SELECT i AS pid,
-                       CAST((i * 17) % 80 AS DOUBLE) - 110.0 AS cx,
-                       CAST((i * 7) % 30 AS DOUBLE) + 40.0 AS cy,
-                       1.5 + CAST(i % 5 AS DOUBLE) * 0.7 AS r,
-                       5 + i % 4 AS k
-                FROM range(12) t(i)
-            ),
-            v0 AS (
-                SELECT pid, k, UNNEST(range(0, k)) AS j, cx, cy, r FROM p
-            ),
-            ll AS (
-                SELECT pid, k, j,
-                       ROUND(cx + r * COS(2 * PI() * j / k), 6) AS lon,
-                       ROUND(cy + 0.6 * r * SIN(2 * PI() * j / k), 6) AS lat
-                FROM v0
-            ),
-            vv AS (
-                SELECT pid, k, j,
-                       ROUND((lon + 180.0) / 360.0 * {float(1 << 7)}, 9) AS vx,
-                       ROUND((1.0 - LN(TAN(RADIANS(lat))
-                             + SQRT(TAN(RADIANS(lat)) * TAN(RADIANS(lat)) + 1.0))
-                             / PI()) / 2.0 * {float(1 << 7)}, 9) AS vy
-                FROM ll
-            ),
-            edges AS (
-                SELECT a.pid, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
-                FROM vv a JOIN vv b
-                  ON a.pid = b.pid AND b.j = (a.j + 1) % a.k
-            ),
-            bbox AS (
-                SELECT pid,
-                       GREATEST(0, LEAST(127, CAST(FLOOR(MIN(vx)) AS BIGINT))) AS gx0,
-                       GREATEST(0, LEAST(127, CAST(FLOOR(MAX(vx)) AS BIGINT))) AS gx1,
-                       GREATEST(0, LEAST(127, CAST(FLOOR(MIN(vy)) AS BIGINT))) AS gy0,
-                       GREATEST(0, LEAST(127, CAST(FLOOR(MAX(vy)) AS BIGINT))) AS gy1
-                FROM vv GROUP BY pid
-            ),
-            cx0 AS (
-                SELECT pid, gy0, gy1, UNNEST(range(gx0, gx1 + 1)) AS gx FROM bbox
-            ),
-            cand AS (
-                SELECT pid, gx, UNNEST(range(gy0, gy1 + 1)) AS gy FROM cx0
-            ),
-            crossings AS (
-                SELECT c.pid, c.gx, c.gy,
-                       SUM(CASE WHEN ((y1 > c.gy + 0.5) != (y2 > c.gy + 0.5))
-                                 AND c.gx + 0.5 <
-                                     x1 + (c.gy + 0.5 - y1) * (x2 - x1) / (y2 - y1)
-                                THEN 1 ELSE 0 END) AS n_cross
-                FROM cand c JOIN edges e ON c.pid = e.pid
-                GROUP BY 1, 2, 3
-            ),
-            inside AS (
-                SELECT pid, gx, gy FROM crossings WHERE n_cross % 2 = 1
-            ),
-            -- per-edge SUPERCOVER (exact overlap, mirrors the Spark
-            -- expression order): crossed columns, then the row span from
-            -- linear interpolation at the column boundary x's
-            ecols AS (
-                SELECT pid, x1, y1, x2, y2,
-                       UNNEST(range(
-                           GREATEST(0, LEAST(127,
-                               CAST(FLOOR(LEAST(x1, x2)) AS BIGINT))),
-                           GREATEST(0, LEAST(127,
-                               CAST(FLOOR(GREATEST(x1, x2)) AS BIGINT))) + 1
-                       )) AS gx
-                FROM edges
-            ),
-            espan AS (
-                SELECT pid, gx,
-                       CASE WHEN x1 = x2 THEN y1 ELSE
-                           y1 + (LEAST(GREATEST(LEAST(x1, x2),
-                                                CAST(gx AS DOUBLE)),
-                                       GREATEST(x1, x2))
-                                 - x1) * (y2 - y1) / (x2 - x1) END AS ya,
-                       CASE WHEN x1 = x2 THEN y2 ELSE
-                           y1 + (GREATEST(LEAST(GREATEST(x1, x2),
-                                                CAST(gx AS DOUBLE) + 1.0),
-                                          LEAST(x1, x2))
-                                 - x1) * (y2 - y1) / (x2 - x1) END AS yb
-                FROM ecols
-            ),
-            sc AS (
-                SELECT pid, gx,
-                       UNNEST(range(
-                           GREATEST(0, LEAST(127,
-                               CAST(FLOOR(LEAST(ya, yb)) AS BIGINT))),
-                           GREATEST(0, LEAST(127,
-                               CAST(FLOOR(GREATEST(ya, yb)) AS BIGINT))) + 1
-                       )) AS gy
-                FROM espan
-            ),
-            tiles AS (SELECT * FROM inside UNION SELECT * FROM sc)
+            WITH {raster_ctes}
             SELECT pid, gx AS tile_x, gy AS tile_y FROM tiles
         """,
         "tile_group_stats": f"""
@@ -4353,6 +4416,31 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN b
               ON a.west <= b.east AND b.west <= a.east
              AND a.south <= b.north AND b.south <= a.north
+        """,
+        "tile_regions": f"""
+            WITH RECURSIVE {raster_ctes},
+            t0 AS (SELECT DISTINCT gx, gy FROM tiles),
+            tt AS (SELECT gx * {1 << 7} + gy AS tid, gx, gy FROM t0),
+            e0 AS (
+                SELECT a.tid AS u, b.tid AS v
+                FROM tt a JOIN tt b
+                  ON (b.gx = a.gx + 1 AND b.gy = a.gy)
+                  OR (b.gx = a.gx AND b.gy = a.gy + 1)
+            ),
+            ee AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+            reach AS (
+                SELECT tid AS v, tid AS r FROM tt
+                UNION
+                SELECT ee.v, reach.r FROM ee JOIN reach ON reach.v = ee.u
+            ),
+            cc AS (SELECT v, MIN(r) AS region_id FROM reach GROUP BY v)
+            SELECT cc.region_id, COUNT(*) AS n_tiles,
+                   CAST(MIN(tt.gx) AS BIGINT) AS min_x,
+                   CAST(MAX(tt.gx) AS BIGINT) AS max_x,
+                   CAST(MIN(tt.gy) AS BIGINT) AS min_y,
+                   CAST(MAX(tt.gy) AS BIGINT) AS max_y
+            FROM cc JOIN tt ON tt.tid = cc.v
+            GROUP BY cc.region_id
         """,
         # dedup_minhash / dedup_simhash / ann_lsh / ann_ivf /
         # approx_distinct_users / polygon_tiles / pipeline_flagship:

@@ -25,6 +25,9 @@ def test_queries_and_oracles_consistent():
         "dedup_minhash", "dedup_simhash",
         "ann_lsh", "ann_ivf", "approx_distinct_users", "polygon_tiles",
         "pipeline_flagship",
+        # round 6: Douglas-Peucker is recursive, not SQL-expressible
+        # (deterministic digest + pytest parity instead)
+        "polygon_simplify",
     }
 
 
