@@ -300,18 +300,39 @@ def _verify_bucket_pairs(
         ),
         lambda p: p["id_a"] < p["id_b"],
     )
-    # one row per (pair, side); the same pair may repeat across bands —
-    # the final per-pair groupBy dedups, saving a distinct shuffle here
-    cands = buckets.select(F.explode(pair).alias("p")).select(
-        "p.id_a", "p.id_b", F.explode(F.array("p.id_a", "p.id_b")).alias("_id")
+    # one row per pair; the same pair may repeat across bands — the final
+    # per-pair groupBy in the shared tail dedups, saving a distinct here
+    pairs = buckets.select(F.explode(pair).alias("p")).select(
+        "p.id_a", "p.id_b"
     )
-    # The candidate pair set is USUALLY small (LSH banding exists
-    # precisely to make it so) -> broadcast it and STREAM the corpus
-    # through one hash join. It is O(candidate pairs), NOT bounded —
-    # hence the auto-sizing above; a forced broadcast_candidates=False
-    # drops the hint and the join plans shuffled (AQE may still convert
-    # back to broadcast at runtime). Results are identical in all three
-    # modes (tests/test_round3_fixes.py, tests/test_round6_fixes.py).
+    return _verify_candidate_pairs(
+        docs, pairs, id_col, text_col, threshold, broadcast_candidates
+    )
+
+
+def _verify_candidate_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    broadcast_candidates: bool,
+) -> DataFrame:
+    """Shared exact-verify tail over a raw (id_a, id_b) candidate frame
+    (repeats allowed): fetch both texts with ONE join against the
+    corpus, exact gram-Jaccard, threshold. Used by the bucket path and
+    the incremental-store path.
+
+    The candidate pair set is USUALLY small (LSH banding exists
+    precisely to make it so) -> broadcast it and STREAM the corpus
+    through one hash join. It is O(candidate pairs), NOT bounded —
+    hence the callers' auto-sizing; a forced broadcast_candidates=False
+    drops the hint and the join plans shuffled (AQE may still convert
+    back to broadcast at runtime). Results are identical in all modes
+    (tests/test_round3_fixes.py, tests/test_round6_fixes.py)."""
+    cands = pairs.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("_id")
+    )
     if broadcast_candidates:
         cands = F.broadcast(cands)
     fetched = docs.select(id_col, text_col).join(
@@ -329,6 +350,103 @@ def _verify_bucket_pairs(
         per_pair.withColumn("jaccard", jaccard_udf("text_a", "text_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def update_minhash_store(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a batch's band table to a persistent signature STORE —
+    the continuous-crawl shape: signatures are computed exactly once
+    per document, ever; later batches dedup against the store without
+    touching old text. Layout: parquet partitioned by band, so the
+    bucket groupBy over (band, bh) reads each band's fixed-width rows
+    with partition pruning available to per-band maintenance."""
+    (
+        band_table(docs, id_col, text_col)
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    store_path: str,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_candidates: "bool | None" = None,
+) -> DataFrame:
+    """Near-dup pairs for an INCREMENTAL batch against itself plus the
+    signature store (update_minhash_store layout) — old signatures are
+    READ, never recomputed, so per-batch cost is O(new batch) + one
+    band-table scan, not O(corpus) signature work.
+
+    Only buckets containing at least one NEW id survive, and only pairs
+    touching a new id are verified (old-old pairs were reported when
+    their batches arrived). ``corpus`` supplies (id, text) for the
+    verify join and must cover old candidate ids — at scale that is the
+    record table itself; only candidate rows are fetched through the
+    one hash join. Returns the same columns as minhash_near_dup_pairs.
+
+    Identity guarantee (pytest): stored(batch1) + incremental(batch2)
+    ∪ batch1-internal pairs == one-shot pairs over batch1 ∪ batch2.
+    """
+    spark = new_docs.sparkSession
+    new_bands = band_table(new_docs, id_col, text_col).withColumn(
+        "_new", F.lit(1)
+    )
+    old_bands = (
+        spark.read.parquet(store_path)
+        .select(
+            F.col(id_col),
+            F.col("band").cast("int").alias("band"),
+            F.col("bh"),
+        )
+        .withColumn("_new", F.lit(0))
+    )
+    allb = old_bands.unionByName(
+        new_bands.select(id_col, "band", "bh", "_new")
+    )
+    buckets = (
+        allb.groupBy("band", "bh")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("_new").alias("nw"))
+            ).alias("_members"),
+            F.max("_new").alias("_has_new"),
+        )
+        .filter((F.size("_members") > 1) & (F.col("_has_new") == 1))
+    )
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                "_members",
+                lambda a: F.transform(
+                    "_members",
+                    lambda b: F.struct(
+                        a["id"].alias("id_a"),
+                        b["id"].alias("id_b"),
+                        (a["nw"] + b["nw"]).alias("_nw"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: (p["id_a"] < p["id_b"]) & (p["_nw"] >= 1),
+    )
+    pairs = buckets.select(F.explode(pair).alias("p")).select(
+        "p.id_a", "p.id_b"
+    )
+    if broadcast_candidates is None:
+        pairs = pairs.localCheckpoint()
+        broadcast_candidates = pairs.count() <= MAX_BROADCAST_PAIRS
+    return _verify_candidate_pairs(
+        corpus, pairs, id_col, text_col, threshold, broadcast_candidates
     )
 
 

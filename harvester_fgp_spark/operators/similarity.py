@@ -213,6 +213,24 @@ def ann_ivf_topk(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, ctr array<double>",
     )
+    return _ivf_probe_rank(ctr, cand, queries, k, n_probe, id_col, emb_col)
+
+
+def _ivf_probe_rank(
+    ctr: DataFrame,
+    cand: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    emb_col: str,
+) -> DataFrame:
+    """Shared IVF tail: assign each query its n_probe nearest centroids
+    (broadcast cross join on the tiny centroid table), equi-join the
+    inverted lists on the int cell id, exact cosine rerank. Norms ride
+    the join sides — computed once per vector, never per pair (per-pair
+    recomputation tripled the hot-loop arithmetic; same IEEE ops,
+    identical values)."""
     # squared L2 to each centroid, native; keep the n_probe nearest
     d2 = F.aggregate(
         F.zip_with(
@@ -239,9 +257,6 @@ def ann_ivf_topk(
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "q_emb", "_qn", "c_id", "c_emb", "_cn")
     )
-    # norms ride the join sides (computed once per vector, not per pair
-    # — recomputing them per candidate pair tripled the higher-order-
-    # function arithmetic in the hot loop; same IEEE ops, same values)
     ranked = pairs.withColumn(
         "cos_sim",
         F.round(
@@ -255,6 +270,71 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", "cos_sim")
     )
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Build and PERSIST an IVF index — the build-once / query-many shape
+    real ANN serving needs at corpus scale (re-fitting k-means per query
+    batch, as ann_ivf_topk does for its self-contained oracle row, is a
+    non-starter at 10^12 vectors).
+
+    Layout: ``{path}/centroids`` (tiny parquet: cell, ctr) and
+    ``{path}/lists`` Hive-partitioned BY CELL — a query batch probing
+    p of n_cells cells prunes to p partitions at the file listing level
+    (dynamic partition pruning at scale; the layout is the index).
+    Norms are precomputed into the lists so queries never touch them.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = vectors.sparkSession
+    vec = vectors.withColumn("_v", array_to_vector(F.col(emb_col)))
+    model = KMeans(
+        k=n_cells, seed=7, featuresCol="_v", predictionCol="_cell"
+    ).fit(vec)
+    ctr = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, ctr array<double>",
+    )
+    ctr.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        model.transform(vec)
+        .select(
+            F.col(id_col).alias("c_id"),
+            F.col(emb_col).alias("c_emb"),
+            F.sqrt(_dot(emb_col, emb_col)).alias("_cn"),
+            F.col("_cell").alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/lists")
+    )
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index (build_ivf_index layout): broadcast
+    the centroid table, probe, equi-join the cell-partitioned lists,
+    exact rerank. Identical results to the in-memory ann_ivf_topk for
+    the same corpus/parameters (pytest parity)."""
+    ctr = spark.read.parquet(f"{path}/centroids")
+    cand = spark.read.parquet(f"{path}/lists").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    return _ivf_probe_rank(ctr, cand, queries, k, n_probe, id_col, emb_col)
 
 
 def ann_lsh_topk(

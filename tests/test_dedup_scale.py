@@ -240,3 +240,59 @@ def test_connected_components_empty_edges(spark):
     edges = spark.createDataFrame([], "id_a long, id_b long")
     got = {r.doc_id: r.cluster_id for r in connected_components(ids, edges).collect()}
     assert got == {3: 3, 5: 5}
+
+
+def test_minhash_incremental_store_identity(spark, tmp_path):
+    """Two-batch incremental dedup == one-shot dedup over the union:
+    stored batch-1 signatures are read (never recomputed) and the
+    incremental pass reports exactly the pairs touching batch 2."""
+    from pyspark.sql import functions as F
+
+    from harvester_fgp_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_near_dup_pairs,
+        update_minhash_store,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+    )
+    # cross-batch planted dups: batch1 originals, batch2 copies (+20000)
+    batch1 = docs.filter(F.col("doc_id") < 80).unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 10000
+        )
+    )
+    batch2 = docs.filter(F.col("doc_id") >= 80).unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 20000
+        )
+    )
+    union = batch1.unionByName(batch2)
+
+    oneshot = minhash_near_dup_pairs(union, threshold=0.9).toPandas()
+    store = str(tmp_path / "sigstore")
+    update_minhash_store(batch1, store)
+    b1_internal = minhash_near_dup_pairs(batch1, threshold=0.9).toPandas()
+    incr = minhash_incremental_pairs(
+        batch2, store, union, threshold=0.9
+    ).toPandas()
+
+    def key(df):
+        return set(map(tuple, df[["id_a", "id_b"]].values.tolist()))
+
+    b2_ids = set(
+        r.doc_id for r in batch2.select("doc_id").toPandas().itertuples()
+    )
+    # incremental == exactly the one-shot pairs touching batch 2
+    exp_incr = {
+        p for p in key(oneshot) if p[0] in b2_ids or p[1] in b2_ids
+    }
+    assert key(incr) == exp_incr and len(exp_incr) > 0
+    # and the union of both passes reconstructs the one-shot result
+    assert key(incr) | key(b1_internal) == key(oneshot)
+    # jaccard values match the one-shot run exactly
+    merged = incr.merge(oneshot, on=["id_a", "id_b"], suffixes=("_i", "_o"))
+    assert (merged.jaccard_i == merged.jaccard_o).all()

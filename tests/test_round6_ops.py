@@ -720,3 +720,39 @@ def test_pipeline_cli_accepts_simplify_tol():
          "--run-id", "r", "--simplify-tol", "0.1"]
     )
     assert a.simplify_tol == 0.1
+
+
+def test_bbox_overlap_join_property_random_levels(spark):
+    """Canonical-cell completeness/uniqueness holds at ANY cover level
+    (the level only changes candidate counts, never the result)."""
+    from harvester_fgp_spark.operators.geo import bbox_overlap_join
+
+    rng = np.random.default_rng(31)
+    n = 60
+    w = rng.uniform(-170, 150, n)
+    s = rng.uniform(-80, 70, n)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype="int64"),
+            "west": w,
+            "south": s,
+            "east": w + rng.uniform(0.01, 40, n),
+            "north": s + rng.uniform(0.01, 25, n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    exp = None
+    for level in (3, 5, 8):
+        out = (
+            bbox_overlap_join(df, df, level=level)
+            .select("a_id", "b_id")
+            .toPandas()
+        )
+        pairs = sorted(map(tuple, out.values.tolist()))
+        assert len(pairs) == len(set(pairs)), f"dup pair at level {level}"
+        if exp is None:
+            exp = pairs
+        else:
+            assert pairs == exp, f"level {level} changed the result"
+    # self-join sanity: every box overlaps itself
+    assert all((i, i) in set(exp) for i in range(n))

@@ -64,3 +64,50 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     full = ann_ivf_topk(emb, qs, k=5, n_cells=8, n_probe=8)
     full_pairs = {(r.q_id, r.c_id) for r in full.collect()}
     assert full_pairs == exact_pairs
+
+
+def test_ivf_index_persist_query_parity(spark, tmp_path):
+    """build_ivf_index + query_ivf_index == the in-memory ann_ivf_topk
+    (same corpus, same quantizer seed): the persisted layout is a pure
+    re-expression, not a different index."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from harvester_fgp_spark.operators.similarity import (
+        ann_ivf_topk,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(300, 16)).astype("float32")
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(300, dtype="int64"),
+            "embedding": [v.tolist() for v in vecs],
+        }
+    )
+    corpus = spark.createDataFrame(pdf)
+    qs = corpus.filter(F.col("vec_id") % 10 == 0)
+
+    direct = (
+        ann_ivf_topk(corpus, qs, k=3, n_cells=8, n_probe=3)
+        .toPandas()
+        .sort_values(["q_id", "rank"], ignore_index=True)
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(corpus, path, n_cells=8)
+    via_index = (
+        query_ivf_index(spark, path, qs, k=3, n_probe=3)
+        .toPandas()
+        .sort_values(["q_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        direct, via_index.astype(direct.dtypes.to_dict())
+    )
+    # the on-disk layout IS the index: inverted lists are cell-partitioned
+    import os
+
+    parts = [d for d in os.listdir(f"{path}/lists") if d.startswith("cell=")]
+    assert len(parts) == 8
