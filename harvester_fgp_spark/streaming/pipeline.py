@@ -270,3 +270,79 @@ def sessionize_windows(
             "n_events",
         )
     )
+
+
+def stream_dedup_incremental_store(
+    docs: DataFrame,
+    store_path: str,
+    pairs_out: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+):
+    """Streaming near-dup detection against a PERSISTENT signature store
+    — the continuous-crawl loop: every micro-batch (a) dedups against
+    itself plus everything ever streamed (via the store's band table,
+    old signatures read, never recomputed), (b) appends its verified
+    cross/within-batch pairs to ``pairs_out``, and (c) appends its own
+    signatures + (id, text) to the store so later batches see it.
+
+    State lives entirely in the store layout, not in Spark streaming
+    state — so the guarantee is watermark-free (a duplicate arriving
+    WEEKS later is still caught, unlike dropDuplicatesWithinWatermark's
+    horizon) at the cost of a per-batch band-table scan. Corpus text for
+    the verify join rides a ``{store}/texts`` append table, so only
+    candidate rows are ever fetched. foreachBatch replays are idempotent
+    for the pair OUTPUT keyed by batch_id partitioning (rewrite of the
+    same batch directory), and the band/texts appends dedup on read via
+    the groupBy bucket key (a replayed identical signature row lands in
+    the same bucket and produces the same pairs).
+    """
+    from ..operators.dedup import (
+        band_table,
+        minhash_incremental_pairs,
+        update_minhash_store,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.select(id_col, text_col).localCheckpoint()
+        bands_dir = f"{store_path}/bands"
+        texts_dir = f"{store_path}/texts"
+        # existence via the Hadoop FileSystem API, NOT os.path — an
+        # hdfs://-or-s3a:// store would read as "absent" to os.path and
+        # silently degrade every batch to within-batch-only dedup
+        # (the round-5 non-local-URI lesson, applied up front)
+        hpath = spark._jvm.org.apache.hadoop.fs.Path(bands_dir)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        have_store = bool(fs.exists(hpath))
+        if have_store:
+            corpus = (
+                spark.read.parquet(texts_dir)
+                .select(id_col, text_col)
+                .unionByName(batch_df)
+            )
+            pairs = minhash_incremental_pairs(
+                batch_df,
+                bands_dir,
+                corpus,
+                threshold=threshold,
+                id_col=id_col,
+                text_col=text_col,
+            )
+        else:
+            from ..operators.dedup import minhash_near_dup_pairs
+
+            pairs = minhash_near_dup_pairs(
+                batch_df, id_col=id_col, text_col=text_col,
+                threshold=threshold,
+            )
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{pairs_out}/batch_id={batch_id}")
+        )
+        update_minhash_store(batch_df, bands_dir, id_col, text_col)
+        batch_df.write.mode("append").parquet(texts_dir)
+
+    return docs.writeStream.foreachBatch(_process)

@@ -361,3 +361,60 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     assert closed_batch <= got <= batch
     assert ("u://a", "2024-01-01 10:00:00", 2) in got
     assert ("u://a", "2024-01-01 11:30:00", 1) in got
+
+
+def test_stream_dedup_incremental_store(spark, tmp_path):
+    """Continuous-crawl dedup: a file stream drained batch-by-batch
+    against the persistent signature store reports the SAME pair set as
+    a one-shot batch run over everything streamed — including
+    cross-micro-batch duplicates no watermark-bounded operator would
+    hold state for."""
+    from harvester_fgp_spark.streaming.pipeline import (
+        stream_dedup_incremental_store,
+    )
+    from harvester_fgp_spark.operators.dedup import minhash_near_dup_pairs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    # originals + planted copies under DIFFERENT ids: the copies arrive
+    # in later files than their originals (cross-batch by construction)
+    dup = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    src = str(tmp_path / "docs_stream")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    dup.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = str(tmp_path / "sigstore")
+    pairs_out = str(tmp_path / "pairs")
+    q = (
+        stream_dedup_incremental_store(
+            stream, store, pairs_out, threshold=0.9
+        )
+        .option("checkpointLocation", str(tmp_path / "scp"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.option("basePath", pairs_out).parquet(pairs_out)
+    oneshot = minhash_near_dup_pairs(
+        docs.unionByName(dup), threshold=0.9
+    ).toPandas()
+    got_pairs = set(
+        map(tuple, got.select("id_a", "id_b").toPandas().values.tolist())
+    )
+    exp_pairs = set(map(tuple, oneshot[["id_a", "id_b"]].values.tolist()))
+    assert got_pairs == exp_pairs and len(exp_pairs) >= 20
+    # cross-batch dups specifically were caught
+    assert any(b >= 10000 for _, b in got_pairs)
