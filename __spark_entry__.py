@@ -2221,6 +2221,59 @@ def _q_track_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2E radius search: geohash cell + 8-neighborhood expansion as the
+    candidate generator, exact haversine as the verdict — the classic
+    geohash radius-query pattern, and the oracle checks COMPLETENESS by
+    value: DuckDB computes ground truth by brute force (no geohash), so
+    a missed candidate cell would hash-mismatch. Precision 2 cells are
+    >= 625 km tall and >= 625*cos(60) km wide below |lat| 60, so a
+    300 km radius can never escape the 3x3 neighborhood. Distance
+    thresholding compares micro-km BIGINTs (no float coin flips)."""
+    pts = D.points_from_documents(spark, sf_dir)
+    qs = pts.filter(
+        (F.col("doc_id") % 37 == 0) & (F.abs(F.col("lat")) < 60.0)
+    ).select(
+        F.col("doc_id").alias("q_id"),
+        F.col("lat").alias("q_lat"),
+        F.col("lon").alias("q_lon"),
+    )
+    qx = qs.withColumn(
+        "gh2",
+        F.explode(
+            F.array_union(
+                G.geohash_neighbors_col(F.col("q_lon"), F.col("q_lat"), 2),
+                F.array(G.geohash_col(F.col("q_lon"), F.col("q_lat"), 2)),
+            )
+        ),
+    )
+    cand = pts.select(
+        F.col("doc_id").alias("c_id"),
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+        G.geohash_col(F.col("lon"), F.col("lat"), 2).alias("gh2"),
+    )
+    d_units = F.round(
+        F.round(
+            G.haversine_km_col(
+                F.col("q_lat"), F.col("q_lon"), F.col("c_lat"), F.col("c_lon")
+            ),
+            6,
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    hits = (
+        qx.join(cand, "gh2")
+        .withColumn("_d", d_units)
+        .filter(F.col("_d") <= 300000000)
+    )
+    return hits.groupBy("q_id").agg(
+        F.count("*").alias("n_within"),
+        F.sum("c_id").alias("sum_ids"),
+        F.max("_d").alias("max_d_units"),
+    )
+
+
 def _q_bbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9: box-box spatial join via cover-cell equi-join + canonical-cell
     pair dedup (each pair reports only at the top-left cell of its
@@ -2482,6 +2535,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_overlap_join": _q_bbox_overlap_join,
         # round 6 tail: raster -> vector region extraction (G7 family)
         "tile_regions": _q_tile_regions,
+        # round 6 tail: E2E radius search (geohash family composite; the
+        # oracle's brute-force ground truth value-checks expansion
+        # completeness)
+        "geo_radius_search": _q_geo_radius_search,
         "text_tokens": _q_text_tokens,
         "multimodal_binary": _q_multimodal_binary,
         "stats_median": _q_stats_median,
@@ -4441,6 +4498,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(tt.gy) AS BIGINT) AS max_y
             FROM cc JOIN tt ON tt.tid = cc.v
             GROUP BY cc.region_id
+        """,
+        "geo_radius_search": f"""
+            WITH pts AS ({pts}),
+            qs AS (
+                SELECT doc_id AS q_id, lat AS q_lat, lon AS q_lon
+                FROM pts WHERE doc_id % 37 = 0 AND ABS(lat) < 60.0
+            ),
+            hits AS (
+                SELECT q.q_id, p.doc_id AS c_id,
+                       CAST(ROUND(ROUND(
+                           {hav.format(lat1="q.q_lat", lon1="q.q_lon", lat2="p.lat", lon2="p.lon")},
+                       6) * 1000000.0) AS BIGINT) AS d_units
+                FROM qs q CROSS JOIN pts p
+            )
+            SELECT q_id, COUNT(*) AS n_within,
+                   CAST(SUM(c_id) AS BIGINT) AS sum_ids,
+                   CAST(MAX(d_units) AS BIGINT) AS max_d_units
+            FROM hits WHERE d_units <= 300000000
+            GROUP BY q_id
         """,
         # dedup_minhash / dedup_simhash / ann_lsh / ann_ivf /
         # approx_distinct_users / polygon_tiles / pipeline_flagship:
