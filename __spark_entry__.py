@@ -2221,6 +2221,21 @@ def _q_track_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hilbert_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1c: Hilbert-curve cell ids (S2's locality-optimal ordering) —
+    per-cell counts plus each cell's parent via the prefix shift (the
+    hierarchy property Hilbert shares with Morton, so J3 prefix joins
+    work unchanged on either id)."""
+    pts = D.points_from_documents(spark, sf_dir)
+    hid = G.hilbert_encode_col(F.col("lon"), F.col("lat"), 5)
+    return (
+        pts.withColumn("hid", hid)
+        .groupBy("hid")
+        .agg(F.count("*").alias("n_points"))
+        .withColumn("parent_hid", F.shiftright(F.col("hid"), 2))
+    )
+
+
 def _q_geo_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2E radius search: geohash cell + 8-neighborhood expansion as the
     candidate generator, exact haversine as the verdict — the classic
@@ -2539,6 +2554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle's brute-force ground truth value-checks expansion
         # completeness)
         "geo_radius_search": _q_geo_radius_search,
+        # round 6 tail: Hilbert cell id (locality-optimal Morton sibling)
+        "hilbert_cell_encode": _q_hilbert_cell_encode,
         "text_tokens": _q_text_tokens,
         "multimodal_binary": _q_multimodal_binary,
         "stats_median": _q_stats_median,
@@ -2797,6 +2814,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM espan
             ),
             tiles AS (SELECT * FROM inside UNION SELECT * FROM sc)"""
+    hilbert_ctes, hilbert_final = G.hilbert_sql_ctes(
+        "lon", "lat", 5, "doc_id"
+    )
     ghp = G.geohash_sql_parts("lon", "lat", 6)
     ghn = G.geohash_sql_parts("lon", "lat", 6, "lonq2", "latq2")
     tile_n = float(1 << TILE_Z)
@@ -4517,6 +4537,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(d_units) AS BIGINT) AS max_d_units
             FROM hits WHERE d_units <= 300000000
             GROUP BY q_id
+        """,
+        "hilbert_cell_encode": f"""
+            WITH pts AS ({pts}),
+            {hilbert_ctes.replace("__HILBERT_SRC__", "pts")}
+            SELECT hd AS hid, COUNT(*) AS n_points,
+                   CAST(hd >> 2 AS BIGINT) AS parent_hid
+            FROM {hilbert_final} GROUP BY hd
         """,
         # dedup_minhash / dedup_simhash / ann_lsh / ann_ivf /
         # approx_distinct_users / polygon_tiles / pipeline_flagship:

@@ -756,3 +756,115 @@ def test_bbox_overlap_join_property_random_levels(spark):
             assert pairs == exp, f"level {level} changed the result"
     # self-join sanity: every box overlaps itself
     assert all((i, i) in set(exp) for i in range(n))
+
+
+# --- Hilbert encode ---------------------------------------------------------
+
+
+def _ref_hilbert(level, x, y):
+    d = 0
+    s = 1 << (level - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_and_is_unit_step(spark):
+    from harvester_fgp_spark.operators.geo import hilbert_encode_col
+
+    level, n = 4, 16
+    # one point per grid cell (cell centers)
+    rows = [
+        (
+            (gx + 0.5) / n * 360.0 - 180.0,
+            90.0 - (gy + 0.5) / n * 180.0,
+            gx,
+            gy,
+        )
+        for gx in range(n)
+        for gy in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "lon double, lat double, gx int, gy int"
+    ).select(
+        "gx", "gy", hilbert_encode_col(F.col("lon"), F.col("lat"), level).alias("hd")
+    )
+    pdf = df.toPandas()
+    # reference parity on every cell
+    for r in pdf.itertuples(index=False):
+        assert r.hd == _ref_hilbert(level, r.gx, r.gy), (r.gx, r.gy)
+    # bijective + unit-step path (THE Hilbert property)
+    path = pdf.sort_values("hd")[["gx", "gy"]].to_numpy()
+    assert len(set(pdf.hd)) == n * n
+    steps = np.abs(np.diff(path, axis=0)).sum(axis=1)
+    assert (steps == 1).all()
+
+
+def test_hilbert_prefix_hierarchy_and_locality(spark):
+    from harvester_fgp_spark.operators.geo import (
+        cell_encode_col,
+        hilbert_encode_col,
+    )
+
+    rng = np.random.default_rng(41)
+    pdf = pd.DataFrame(
+        {
+            "lon": rng.uniform(-179, 179, 300),
+            "lat": rng.uniform(-85, 85, 300),
+        }
+    )
+    df = spark.createDataFrame(pdf).select(
+        hilbert_encode_col(F.col("lon"), F.col("lat"), 6).alias("h6"),
+        hilbert_encode_col(F.col("lon"), F.col("lat"), 5).alias("h5"),
+    )
+    out = df.toPandas()
+    # id >> 2 IS the parent id — the same shift J3 uses on Morton cells
+    assert (out.h6 // 4 == out.h5).all()
+
+    # locality: a rectangle range-query covers FEWER contiguous id runs
+    # under Hilbert than Morton (Moon et al. 1996 — the actual metric a
+    # range scan cares about; mean neighbor |Δid| favors Morton and is
+    # the wrong measure). Measured here: ~8.1 vs ~14.3 runs per 8x8
+    # window at level 6.
+    level, n = 6, 64
+    rows = [
+        (
+            (gx + 0.5) / n * 360.0 - 180.0,
+            90.0 - (gy + 0.5) / n * 180.0,
+            gx,
+            gy,
+        )
+        for gx in range(n)
+        for gy in range(n)
+    ]
+    grid = spark.createDataFrame(rows, "lon double, lat double, gx int, gy int")
+    enc = grid.select(
+        "gx",
+        "gy",
+        hilbert_encode_col(F.col("lon"), F.col("lat"), level).alias("h"),
+        cell_encode_col(F.col("lon"), F.col("lat"), level).alias("m"),
+    ).toPandas()
+    hmap = {(r.gx, r.gy): r.h for r in enc.itertuples(index=False)}
+    mmap = {(r.gx, r.gy): r.m for r in enc.itertuples(index=False)}
+
+    def runs(ids):
+        ids = np.sort(np.array(ids))
+        return 1 + int((np.diff(ids) > 1).sum())
+
+    rng2 = np.random.default_rng(1)
+    h_runs, m_runs = [], []
+    for _ in range(100):
+        x0 = int(rng2.integers(0, n - 8))
+        y0 = int(rng2.integers(0, n - 8))
+        cells = [(x0 + i, y0 + j) for i in range(8) for j in range(8)]
+        h_runs.append(runs([hmap[c] for c in cells]))
+        m_runs.append(runs([mmap[c] for c in cells]))
+    assert np.mean(h_runs) < np.mean(m_runs)
