@@ -2221,6 +2221,55 @@ def _q_track_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 multiset variants: EXCEPT ALL / INTERSECT ALL preserve
+    duplicate multiplicity (the set forms already hold a window slot);
+    counted per nation for a stable frame."""
+    c = _read(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    o = (
+        _read(spark, sf_dir, "orders")
+        .join(
+            _read(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(F.col("c_nationkey").alias("nk"))
+    )
+    ex = c.exceptAll(o).groupBy("nk").agg(F.count("*").alias("n_except_all"))
+    ix = c.intersectAll(o).groupBy("nk").agg(
+        F.count("*").alias("n_intersect_all")
+    )
+    return ex.join(ix, "nk", "full_outer").select(
+        "nk",
+        F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
+        F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
+    )
+
+
+def _q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 distribution family: percent_rank / cume_dist over order value
+    per status — micro-unit longs (single-division IEEE, engine-exact)."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.percent_rank().over(w) * 1000000).cast("long").alias(
+                "pct_rank_micro"
+            ),
+            F.round(F.cume_dist().over(w) * 1000000).cast("long").alias(
+                "cume_micro"
+            ),
+        )
+        # sample AFTER the window so the distribution is over ALL orders
+        .filter(F.col("o_orderkey") % 50 == 0)
+    )
+
+
 def _q_hilbert_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1c: Hilbert-curve cell ids (S2's locality-optimal ordering) —
     per-cell counts plus each cell's parent via the prefix shift (the
@@ -2556,6 +2605,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_radius_search": _q_geo_radius_search,
         # round 6 tail: Hilbert cell id (locality-optimal Morton sibling)
         "hilbert_cell_encode": _q_hilbert_cell_encode,
+        # round 6 tail: multiset set-ops + distribution windows (family
+        # variants; set_except / window_top hold the window slots)
+        "set_ops_all": _q_set_ops_all,
+        "window_distribution": _q_window_distribution,
         "text_tokens": _q_text_tokens,
         "multimodal_binary": _q_multimodal_binary,
         "stats_median": _q_stats_median,
@@ -4544,6 +4597,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT hd AS hid, COUNT(*) AS n_points,
                    CAST(hd >> 2 AS BIGINT) AS parent_hid
             FROM {hilbert_final} GROUP BY hd
+        """,
+        "set_ops_all": """
+            WITH c AS (SELECT c_nationkey AS nk FROM customer),
+            o AS (
+                SELECT c_nationkey AS nk FROM orders
+                JOIN customer ON o_custkey = c_custkey
+            ),
+            ex AS (
+                SELECT nk, COUNT(*) AS n_except_all
+                FROM (SELECT nk FROM c EXCEPT ALL SELECT nk FROM o)
+                GROUP BY nk
+            ),
+            ix AS (
+                SELECT nk, COUNT(*) AS n_intersect_all
+                FROM (SELECT nk FROM c INTERSECT ALL SELECT nk FROM o)
+                GROUP BY nk
+            )
+            SELECT COALESCE(ex.nk, ix.nk) AS nk,
+                   COALESCE(n_except_all, 0) AS n_except_all,
+                   COALESCE(n_intersect_all, 0) AS n_intersect_all
+            FROM ex FULL OUTER JOIN ix ON ex.nk = ix.nk
+        """,
+        "window_distribution": """
+            WITH w AS (
+                SELECT o_orderkey, o_orderstatus,
+                       PERCENT_RANK() OVER (
+                           PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice ASC, o_orderkey ASC
+                       ) AS pr,
+                       CUME_DIST() OVER (
+                           PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice ASC, o_orderkey ASC
+                       ) AS cd
+                FROM orders
+            )
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(ROUND(pr * 1000000) AS BIGINT) AS pct_rank_micro,
+                   CAST(ROUND(cd * 1000000) AS BIGINT) AS cume_micro
+            FROM w WHERE o_orderkey % 50 = 0
         """,
         # dedup_minhash / dedup_simhash / ann_lsh / ann_ivf /
         # approx_distinct_users / polygon_tiles / pipeline_flagship:
