@@ -868,3 +868,15 @@ def test_hilbert_prefix_hierarchy_and_locality(spark):
         h_runs.append(runs([hmap[c] for c in cells]))
         m_runs.append(runs([mmap[c] for c in cells]))
     assert np.mean(h_runs) < np.mean(m_runs)
+
+
+def test_radius_search_is_equi_join(spark):
+    """The geohash expansion must reach the join as an equi-join on the
+    cell string — a nested-loop fallback would mean the candidate
+    generator silently degraded to all-pairs."""
+    import __spark_entry__ as E
+
+    df = E.queries()["geo_radius_search"](spark, "/root/testdata/sf0.001")
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
