@@ -2221,6 +2221,44 @@ def _q_track_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics under the EXACT gate: float sums are
+    order-dependent, so var/stddev/corr normally can't hash-match — but
+    events.value is cents-representable, so Σx, Σx², Σxy accumulate as
+    exact BIGINTs and the variance/correlation formulas reduce to a
+    couple of single exactly-rounded IEEE ops in the same order both
+    engines (n·Σx² − (Σx)² stays well inside int64 at these scales)."""
+    ev = _read(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    uid = F.col("user_id").cast("long")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("sx"),
+        F.sum(cents * cents).alias("sxx"),
+        F.sum(uid).alias("sy"),
+        F.sum(uid * uid).alias("syy"),
+        F.sum(cents * uid).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sx").alias("sum_cents"),
+        # sample variance in cents^2: exact integer numerator, ONE division
+        F.round(vx / (n * (n - F.lit(1.0))), 6).alias("var_cents2"),
+        F.round(cov / F.sqrt(vx * vy), 9).alias("corr_value_uid"),
+    )
+
+
 def _q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4 multiset variants: EXCEPT ALL / INTERSECT ALL preserve
     duplicate multiplicity (the set forms already hold a window slot);
@@ -2608,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 6 tail: multiset set-ops + distribution windows (family
         # variants; set_except / window_top hold the window slots)
         "set_ops_all": _q_set_ops_all,
+        "stats_moments": _q_stats_moments,
         "window_distribution": _q_window_distribution,
         "text_tokens": _q_text_tokens,
         "multimodal_binary": _q_multimodal_binary,
@@ -4636,6 +4675,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(pr * 1000000) AS BIGINT) AS pct_rank_micro,
                    CAST(ROUND(cd * 1000000) AS BIGINT) AS cume_micro
             FROM w WHERE o_orderkey % 50 = 0
+        """,
+        "stats_moments": """
+            WITH a AS (
+                SELECT event_type, COUNT(*) AS n,
+                       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sx,
+                       SUM(CAST(ROUND(value * 100) AS BIGINT)
+                           * CAST(ROUND(value * 100) AS BIGINT)) AS sxx,
+                       SUM(CAST(user_id AS BIGINT)) AS sy,
+                       SUM(CAST(user_id AS BIGINT)
+                           * CAST(user_id AS BIGINT)) AS syy,
+                       SUM(CAST(ROUND(value * 100) AS BIGINT)
+                           * CAST(user_id AS BIGINT)) AS sxy
+                FROM events GROUP BY event_type
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(sx AS BIGINT) AS sum_cents,
+                   ROUND(CAST(n * sxx - sx * sx AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)),
+                         6) AS var_cents2,
+                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE)),
+                         9) AS corr_value_uid
+            FROM a
         """,
         # dedup_minhash / dedup_simhash / ann_lsh / ann_ivf /
         # approx_distinct_users / polygon_tiles / pipeline_flagship:
