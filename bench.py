@@ -47,6 +47,8 @@ BENCH_QUERIES = (
     "repetition_stats",
     "semantic_dedup",
     "track_stats",
+    "geo_radius_search",
+    "hilbert_cell_encode",
 )
 # NOT benched: geo_dbscan — at sf0.1 the fixture percolates into one giant
 # cluster and the contraction loop's per-round FIXED cost (a handful of

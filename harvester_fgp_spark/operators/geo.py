@@ -1338,3 +1338,64 @@ def hilbert_sql_ctes(
         )"""
         )
     return ",\n            ".join(ctes), f"h{lvl}"
+
+
+def with_hilbert(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    level: int = 8,
+    out: str = "hilbert_id",
+) -> DataFrame:
+    """DataFrame-level Hilbert encode with LINEAR plan growth: each
+    rotation level is its own projection, and CollapseProject keeps the
+    stages separate (the level's x/y aliases are non-cheap and each
+    referenced ~3 times downstream, which is exactly the case the
+    optimizer refuses to re-inline).
+
+    Why it exists: ``hilbert_encode_col`` is a single expression whose
+    tree TRIPLES per level — at level 5 that's ~seconds of Column
+    construction + Janino compile PER PLAN (measured: the 5k-row gate
+    query spent 3 s on a 0.3 s job). The staged builder is
+    value-identical (pytest parity) and supports deeper levels.
+    """
+    if not (1 <= level <= 16):
+        raise ValueError("level in [1, 16]")
+    n = 1 << level
+    x = F.floor(
+        (F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))
+    )
+    y = F.floor(
+        (F.lit(90.0) - F.col(lat_col)) / F.lit(180.0) * F.lit(float(n))
+    )
+    nmax, zero = F.lit(n - 1), F.lit(0)
+    base = [F.col(c) for c in df.columns]
+    staged = df.select(
+        *base,
+        F.greatest(zero, F.least(nmax, x)).cast("long").alias("_hx"),
+        F.greatest(zero, F.least(nmax, y)).cast("long").alias("_hy"),
+        F.lit(0).cast("long").alias("_hd"),
+    )
+    for i in range(level - 1, -1, -1):
+        s = 1 << i
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        d = F.col("_hd") + F.lit(s * s).cast("long") * (rx * 3).bitwiseXOR(
+            ry
+        ).cast("long")
+        nx = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - F.col("_hy")).otherwise(
+                F.col("_hy")
+            ),
+        ).otherwise(F.col("_hx"))
+        ny = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - F.col("_hx")).otherwise(
+                F.col("_hx")
+            ),
+        ).otherwise(F.col("_hy"))
+        staged = staged.select(
+            *base, nx.alias("_hx"), ny.alias("_hy"), d.alias("_hd")
+        )
+    return staged.select(*base, F.col("_hd").alias(out))

@@ -880,3 +880,29 @@ def test_radius_search_is_equi_join(spark):
     plan = plan_string(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_with_hilbert_matches_expression_and_goes_deeper(spark):
+    from harvester_fgp_spark.operators.geo import (
+        hilbert_encode_col,
+        with_hilbert,
+    )
+
+    rng = np.random.default_rng(77)
+    pdf = pd.DataFrame(
+        {
+            "lon": rng.uniform(-180, 180, 400),
+            "lat": rng.uniform(-90, 90, 400),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    both = with_hilbert(df, "lon", "lat", level=6, out="h_staged").select(
+        "h_staged",
+        hilbert_encode_col(F.col("lon"), F.col("lat"), 6).alias("h_expr"),
+    )
+    out = both.toPandas()
+    assert (out.h_staged == out.h_expr).all()
+    # the staged builder reaches levels the single expression can't
+    deep = with_hilbert(df, "lon", "lat", level=12, out="h12").toPandas()
+    assert deep.h12.between(0, (1 << 24) - 1).all()
+    assert deep.h12.nunique() > 390  # 4096^2 cells: 400 points spread out
