@@ -1399,3 +1399,58 @@ def with_hilbert(
             *base, nx.alias("_hx"), ny.alias("_hy"), d.alias("_hd")
         )
     return staged.select(*base, F.col("_hd").alias(out))
+
+
+def with_hilbert_decode(
+    df: DataFrame,
+    id_col: str = "hilbert_id",
+    level: int = 8,
+    x_out: str = "gx",
+    y_out: str = "gy",
+) -> DataFrame:
+    """Inverse of ``with_hilbert``: Hilbert id -> grid (gx, gy) at the
+    same level, staged one rotation level per projection (same linear-
+    plan rationale — the naive single expression explodes per level).
+    Roundtrip identity is pytest-pinned both directions.
+
+    The decode runs LSB-up (quadrant size doubling), mirroring the
+    classic d2xy; use it to translate a Hilbert id RANGE scan back to
+    grid cells / bboxes (the Morton id has cell_parent_col + the tile
+    decode for this; Hilbert gets the exact inverse instead since its
+    bit layout is rotation-dependent).
+    """
+    if not (1 <= level <= 16):
+        raise ValueError("level in [1, 16]")
+    base = [F.col(c) for c in df.columns]
+    staged = df.select(
+        *base,
+        F.col(id_col).cast("long").alias("_ht"),
+        F.lit(0).cast("long").alias("_hx"),
+        F.lit(0).cast("long").alias("_hy"),
+    )
+    s = 1
+    while s < (1 << level):
+        rx = F.shiftright(F.col("_ht"), 1).bitwiseAND(F.lit(1))
+        ry = F.col("_ht").bitwiseXOR(rx).bitwiseAND(F.lit(1))
+        mx = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - F.col("_hy")).otherwise(
+                F.col("_hy")
+            ),
+        ).otherwise(F.col("_hx"))
+        my = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - F.col("_hx")).otherwise(
+                F.col("_hx")
+            ),
+        ).otherwise(F.col("_hy"))
+        staged = staged.select(
+            *base,
+            F.shiftright(F.col("_ht"), 2).alias("_ht"),
+            (mx + F.lit(s) * rx).alias("_hx"),
+            (my + F.lit(s) * ry).alias("_hy"),
+        )
+        s *= 2
+    return staged.select(
+        *base, F.col("_hx").alias(x_out), F.col("_hy").alias(y_out)
+    )

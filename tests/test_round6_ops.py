@@ -906,3 +906,39 @@ def test_with_hilbert_matches_expression_and_goes_deeper(spark):
     deep = with_hilbert(df, "lon", "lat", level=12, out="h12").toPandas()
     assert deep.h12.between(0, (1 << 24) - 1).all()
     assert deep.h12.nunique() > 390  # 4096^2 cells: 400 points spread out
+
+
+def test_hilbert_decode_roundtrips(spark):
+    from harvester_fgp_spark.operators.geo import (
+        with_hilbert,
+        with_hilbert_decode,
+    )
+
+    level, n = 5, 32
+    # every cell once: encode -> decode must reproduce (gx, gy)
+    cells = spark.createDataFrame(
+        [(gx, gy) for gx in range(n) for gy in range(n)], "gx0 int, gy0 int"
+    ).select(
+        "gx0",
+        "gy0",
+        ((F.col("gx0") + 0.5) / n * 360.0 - 180.0).alias("lon"),
+        (90.0 - (F.col("gy0") + 0.5) / n * 180.0).alias("lat"),
+    )
+    enc = with_hilbert(cells, "lon", "lat", level=level, out="hid")
+    dec = with_hilbert_decode(enc, "hid", level=level).toPandas()
+    assert (dec.gx == dec.gx0).all() and (dec.gy == dec.gy0).all()
+    # d -> xy -> d over the full id space
+    ids = spark.range(n * n).select(F.col("id").alias("hid"))
+    xy = with_hilbert_decode(ids, "hid", level=level)
+    back = with_hilbert(
+        xy.select(
+            "hid",
+            ((F.col("gx") + 0.5) / n * 360.0 - 180.0).alias("lon"),
+            (90.0 - (F.col("gy") + 0.5) / n * 180.0).alias("lat"),
+        ),
+        "lon",
+        "lat",
+        level=level,
+        out="hid2",
+    ).toPandas()
+    assert (back.hid == back.hid2).all()
