@@ -2253,9 +2253,17 @@ def _q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n").cast("long").alias("n"),
         F.col("sx").alias("sum_cents"),
-        # sample variance in cents^2: exact integer numerator, ONE division
-        F.round(vx / (n * (n - F.lit(1.0))), 6).alias("var_cents2"),
-        F.round(cov / F.sqrt(vx * vy), 9).alias("corr_value_uid"),
+        # sample variance in cents^2: exact integer numerator, ONE
+        # division; n<=1 or zero-variance groups yield NULL on BOTH
+        # engines (DuckDB's IEEE division would emit inf/NaN where Spark
+        # NULLs a /0, so the guard must be explicit and mirrored)
+        F.when(
+            F.col("n") > 1, F.round(vx / (n * (n - F.lit(1.0))), 6)
+        ).alias("var_cents2"),
+        F.when(
+            (F.col("n") > 1) & (vx > 0) & (vy > 0),
+            F.round(cov / F.sqrt(vx * vy), 9),
+        ).alias("corr_value_uid"),
     )
 
 
@@ -4731,13 +4739,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, CAST(n AS BIGINT) AS n,
                    CAST(sx AS BIGINT) AS sum_cents,
-                   ROUND(CAST(n * sxx - sx * sx AS DOUBLE)
-                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)),
-                         6) AS var_cents2,
-                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
-                                * CAST(n * syy - sy * sy AS DOUBLE)),
-                         9) AS corr_value_uid
+                   CASE WHEN n > 1 THEN
+                       ROUND(CAST(n * sxx - sx * sx AS DOUBLE)
+                             / (CAST(n AS DOUBLE)
+                                * (CAST(n AS DOUBLE) - 1.0)),
+                             6) END AS var_cents2,
+                   CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+                             AND n * syy - sy * sy > 0 THEN
+                       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                                    * CAST(n * syy - sy * sy AS DOUBLE)),
+                             9) END AS corr_value_uid
             FROM a
         """,
         # dedup_minhash / dedup_simhash / ann_lsh / ann_ivf /

@@ -79,6 +79,8 @@ def simplify_polygons_pdf(ppdf, tol: float):
     """
 
     def _one(ring):
+        if ring is None:
+            return ring
         xs = np.array([p["x"] for p in ring], dtype=float)
         ys = np.array([p["y"] for p in ring], dtype=float)
         m = simplify_mask(xs, ys, tol)

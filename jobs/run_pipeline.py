@@ -179,7 +179,7 @@ def main(argv: list[str]) -> None:
     )
     try:
         print("run metrics:", obs.get)
-    except Exception:
+    except Exception as metrics_err:
         # A fully-resumed run (nothing pending) is an EMPTY relation:
         # Catalyst's empty-relation propagation elides the CollectMetrics
         # node, the observation completes with a schemaless empty row,
@@ -193,8 +193,12 @@ def main(argv: list[str]) -> None:
             .agg(F.coalesce(F.sum("row_count"), F.lit(0)).alias("n"))
             .collect()[0].n
         )
+        # Surface the swallowed error so a REAL observation bug (not the
+        # empty-resume elision) is visible next to the lineage fallback.
+        cause = str(metrics_err).splitlines()[0][:200] if str(metrics_err) else ""
         print(f"run metrics: {{'n_records': {n}}} "
-              "(observation elided — empty resume; from lineage)")
+              "(observation elided — empty resume; from lineage; "
+              f"cause: {type(metrics_err).__name__}: {cause})")
     if args.compact:
         C.compact_records(spark, args.out, target_rows_per_file=args.compact)
         print(f"compacted {args.out} (target {args.compact} rows/file)")

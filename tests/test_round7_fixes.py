@@ -1,0 +1,84 @@
+"""Round-7 fixes: ADVICE items + VERDICT r6 next-round tasks.
+
+- semantic_dedup fixture guard: the driver-gate oracle for
+  `semantic_dedup` is an exact-equality self-join, which is only a
+  faithful twin while NO non-identical pair in the embeddings fixture
+  reaches the 0.9999 cosine threshold. Pin that property here so a
+  fixture regeneration fails loudly in CI, not at the driver gate
+  (ADVICE r6 #3).
+- stats_moments zero-variance guard: n<=1 / constant groups must yield
+  NULL on both engines (ADVICE r6 #2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+SEMANTIC_DEDUP_THRESHOLD = 0.9999  # __spark_entry__._q_semantic_dedup
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_embeddings_fixture_has_no_natural_near_twins(sf_dir):
+    """Max cosine between NON-identical fixture vectors stays safely
+    below the semantic_dedup gate threshold — the planted +10000 copies
+    are the ONLY pairs that can qualify, which is what makes the
+    equality self-join oracle exact. Guards fixture regeneration."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    v = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    # collapse exact-identical rows first: the remaining pairwise max is
+    # the largest cosine any non-identical pair can achieve
+    uniq = np.unique(v, axis=0)
+    n = uniq / np.linalg.norm(uniq, axis=1, keepdims=True)
+    g = n @ n.T
+    np.fill_diagonal(g, -1.0)
+    max_cos = float(g.max())
+    # margin: the operator compares unrounded cosine >= threshold; keep
+    # 1e-3 of headroom so float noise can't creep over the line
+    assert max_cos < SEMANTIC_DEDUP_THRESHOLD - 1e-3, (
+        f"{sf_dir}: non-identical pair at cos={max_cos:.6f} would break "
+        "the equality-join oracle for semantic_dedup"
+    )
+
+
+def test_stats_moments_zero_variance_guard(spark):
+    """A 1-row group and a constant-value group yield NULL var/corr on
+    the Spark side (mirrored as CASE WHEN in the DuckDB twin) instead
+    of a div-by-zero NULL-vs-inf engine divergence."""
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["solo", "const", "const", "ok", "ok", "ok"],
+            "value": [1.25, 2.0, 2.0, 1.0, 2.0, 3.0],
+            "user_id": [7, 5, 5, 1, 2, 3],
+        }
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        # write a minimal events.parquet so _q_stats_moments's reader
+        # sees the same path layout as the fixture dirs
+        import pyarrow as pa
+
+        pq.write_table(pa.Table.from_pandas(pdf), f"{d}/events.parquet")
+        out = {
+            r["event_type"]: r
+            for r in E.queries()["stats_moments"](spark, d).collect()
+        }
+    assert out["solo"]["var_cents2"] is None
+    assert out["solo"]["corr_value_uid"] is None
+    # constant value => vx == 0 => corr NULL (var is 0, defined)
+    assert out["const"]["var_cents2"] == 0.0
+    assert out["const"]["corr_value_uid"] is None
+    assert out["ok"]["var_cents2"] is not None
+    assert out["ok"]["corr_value_uid"] is not None
