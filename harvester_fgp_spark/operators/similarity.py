@@ -385,12 +385,33 @@ def ann_lsh_topk(
     )
 
 
+#: Auto-sizing cap for the semantic_dedup quantizer: k-means fit cost is
+#: O(n * k * d * iters), so k is bounded even when sqrt(n) keeps growing
+#: (at n = 10^9, sqrt(n) ~ 31623 <= the cap; past it, candidate pairs
+#: grow linearly in n again — the caller should shard first).
+MAX_AUTO_CELLS = 32_768
+
+
+def _auto_n_cells(n: int) -> int:
+    """~sqrt(n) clusters, floored at 8 and cost-capped: with k = sqrt(n)
+    the expected within-cell pair count is n^2/(2k) = n^1.5/2 — the
+    SemDeDup sweet spot where quantizer fit cost (n*k*d) and pair-join
+    cost meet — instead of the old fixed k=8's n^2/16 foot-gun. Never
+    exceeds n itself (Spark KMeans requires k <= points)."""
+    import math
+
+    return max(
+        1, min(max(8, int(math.isqrt(max(n, 0)))), MAX_AUTO_CELLS, n)
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
-    n_cells: int = 8,
+    n_cells: "int | None" = None,
     threshold: float = 0.9999,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    stats: "dict | None" = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the corpus with a coarse k-means quantizer, then drop every document
@@ -406,6 +427,15 @@ def semantic_dedup(
     recall knob exactly as in IVF search. Centroids ride a broadcast;
     the pair join shuffles (id, embedding) rows hash-partitioned by cell.
 
+    ``n_cells=None`` (the default since round 7) AUTO-SIZES the
+    quantizer to ~sqrt(n) clusters (one count job over the non-null
+    vectors, cost-capped at MAX_AUTO_CELLS): the old fixed k=8 meant
+    ~n^2/16 candidate pairs at ANY corpus size — quadratic the moment a
+    caller forgot to scale k. Auto-k keeps expected pairs at n^1.5/2
+    and leaves the explicit knob for recall tuning. Dedup output at
+    threshold ~1.0 is k-invariant either way (exact duplicates
+    co-cluster under any centroid set).
+
     Determinism note (oracle strategy, the ann_ivf_recall trick): at
     ``threshold`` ~1.0 the qualifying pairs are exact-duplicate vectors,
     which land in the same cluster under ANY centroid set (identical
@@ -417,6 +447,9 @@ def semantic_dedup(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    vectors = vectors.filter(F.col(emb_col).isNotNull())
+    if n_cells is None:
+        n_cells = _auto_n_cells(vectors.count())
     vec = vectors.withColumn("_v", array_to_vector(F.col(emb_col)))
     # the quantizer only scopes the pair join — it needn't converge, so
     # iterations are bounded (measured: maxIter 20 -> 8 cut the fit from
@@ -459,6 +492,27 @@ def semantic_dedup(
         .cast("long")
         .alias("_prj"),
     )
+    # assigned feeds BOTH join sides (and the optional stats job): Spark
+    # never CSEs multi-consumer subtrees, so without this checkpoint the
+    # quantizer transform (n*k*d argmin — real money at auto-k ~ sqrt(n))
+    # would run once PER consumer (round 7; single non-iterative
+    # localCheckpoint, no _stats_reset hazard)
+    assigned = assigned.localCheckpoint()
+    if stats is not None:
+        sizes = assigned.groupBy("cell").agg(F.count("*").alias("_k"))
+        row = sizes.agg(
+            F.sum(F.col("_k")).alias("n"),
+            F.sum(
+                F.col("_k") * (F.col("_k") - F.lit(1)) / F.lit(2)
+            ).alias("scoped"),
+        ).first()
+        n_total = int(row["n"] or 0)
+        stats.update(
+            n=n_total,
+            k=n_cells,
+            scoped_pairs=int(row["scoped"] or 0),
+            all_pairs=n_total * (n_total - 1) // 2,
+        )
     lo = assigned.select(
         F.col("cell"),
         F.col(id_col).alias("_lo_id"),
@@ -473,11 +527,24 @@ def semantic_dedup(
         F.col("_n").alias("_hi_n"),
         F.col("_prj").alias("_hi_p"),
     )
-    pairs = (
-        lo.join(hi, "cell")
-        .filter(F.col("_lo_id") < F.col("_hi_id"))
-        .filter(F.abs(F.col("_lo_p") - F.col("_hi_p")) <= 1)
+    # chord prefilter AS A JOIN KEY (round 7, was filter-after-join): the
+    # lo side explodes to its 3 admissible buckets {p-1, p, p+1} and the
+    # join is equi on (cell, bucket) — |lo_p - hi_p| <= 1 holds iff
+    # EXACTLY ONE exploded row matches (no dedup needed), so non-dup
+    # pairs never materialize at all instead of materializing and dying
+    # in a post-join filter. At auto-k + threshold ~1.0 this turns the
+    # within-cell n_c^2 row stream into only the chord-admissible pairs.
+    lo3 = lo.withColumn(
+        "_bkt",
+        F.explode(
+            F.array(
+                F.col("_lo_p") - 1, F.col("_lo_p"), F.col("_lo_p") + 1
+            )
+        ),
     )
+    pairs = lo3.join(
+        hi.withColumnRenamed("_hi_p", "_bkt"), ["cell", "_bkt"]
+    ).filter(F.col("_lo_id") < F.col("_hi_id"))
     # norms computed once per vector and carried through the join —
     # per-pair recomputation tripled the hot-loop arithmetic (measured
     # 7.8 s -> see bench; same IEEE ops, identical values)

@@ -48,6 +48,104 @@ def test_embeddings_fixture_has_no_natural_near_twins(sf_dir):
     )
 
 
+def test_semantic_dedup_auto_k_planted(spark):
+    """Auto-sized quantizer (n_cells=None, VERDICT r6 next-#5): planted
+    exact twins are still dropped exactly — the dedup output at
+    threshold ~1.0 is k-invariant, so auto-k changes cost, not truth."""
+    from pyspark.sql import functions as F
+
+    from harvester_fgp_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    planted = emb.filter(F.col("vec_id") % 4 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 10000
+    )
+    out = (
+        semantic_dedup(emb.unionByName(planted), threshold=0.9999)
+        .toPandas()
+        .sort_values("dropped_id", ignore_index=True)
+    )
+    exp = sorted(
+        r.vec_id + 10000
+        for r in emb.filter(F.col("vec_id") % 4 == 0).collect()
+    )
+    assert out.dropped_id.tolist() == exp
+    assert (out.kept_id == out.dropped_id - 10000).all()
+
+
+def test_semantic_dedup_auto_k_sizing():
+    from harvester_fgp_spark.operators.similarity import (
+        MAX_AUTO_CELLS,
+        _auto_n_cells,
+    )
+
+    assert _auto_n_cells(0) == 1  # degenerate corpus: k can't exceed n
+    assert _auto_n_cells(3) == 3
+    assert _auto_n_cells(100) == 10
+    assert _auto_n_cells(625) == 25
+    assert _auto_n_cells(1_000_000) == 1000
+    assert _auto_n_cells(10**12) == MAX_AUTO_CELLS
+
+
+def test_minhash_incremental_degenerate_bucket_guard(spark, tmp_path):
+    """Thousands of near-empty docs (one shared word -> one shared gram
+    -> identical signature -> ONE bucket per band) complete with bounded
+    member arrays: the size screen runs before collect_list, the
+    exclusion is warned loudly, and real cross-batch dup pairs are still
+    reported exactly (VERDICT r6 next-#6)."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from harvester_fgp_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        update_minhash_store,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    degenerate = spark.range(3000).select(
+        (F.col("id") + 500_000).alias("doc_id"), F.lit("x").alias("text")
+    )
+    batch1 = docs.filter(F.col("doc_id") < 20)
+    batch2 = (
+        docs.filter(F.col("doc_id") >= 20)
+        # planted cross-batch dups: copies of batch-1 docs
+        .unionByName(
+            docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 20000
+            )
+        )
+        .unionByName(degenerate)
+    )
+    union = batch1.unionByName(batch2)
+
+    store = str(tmp_path / "sigstore")
+    update_minhash_store(batch1, store)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = minhash_incremental_pairs(
+            batch2, store, union, threshold=0.9, max_bucket_size=100
+        ).toPandas()
+    msgs = [str(w.message) for w in caught if "EXCLUDED" in str(w.message)]
+    assert msgs, "degenerate-bucket exclusion must warn loudly"
+    assert "3000 members" in msgs[0]
+    # the planted cross-batch dups all survive the guard
+    planted = {
+        (int(r.doc_id), int(r.doc_id) + 20000)
+        for r in docs.filter(
+            (F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 20)
+        ).collect()
+    }
+    pairs = set(map(tuple, got[["id_a", "id_b"]].values.tolist()))
+    assert planted <= pairs and len(planted) > 0
+    # no pair touches a degenerate id (the documented exclusion)
+    assert all(a < 500_000 and b < 500_000 for a, b in pairs)
+
+
 def test_stats_moments_zero_variance_guard(spark):
     """A 1-row group and a constant-value group yield NULL var/corr on
     the Spark side (mirrored as CASE WHEN in the DuckDB twin) instead
