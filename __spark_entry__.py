@@ -2330,6 +2330,42 @@ def _q_hilbert_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: hilbert_range_scan gate fixture: bbox + level shared by the Spark
+#: query and the (Hilbert-free) DuckDB oracle below
+_HRS_BBOX = (-30.0, 10.0, 40.0, 55.0)  # lon_min, lat_min, lon_max, lat_max
+_HRS_LEVEL = 6
+
+
+def _q_hilbert_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1c consumer (round 7): bbox -> EXACT Hilbert id-range cover
+    (driver-side planning over the same int64 arithmetic as the executor
+    encode) -> OR-of-BETWEEN filter on the id — lon/lat are never
+    consulted after the encode, so the ranges alone select the rows.
+    The DuckDB oracle picks the SAME docs by the quantized grid
+    rectangle directly (no Hilbert, no ranges): one wrong, missing, or
+    over-wide range hash-fails; per-cell counts also pin the id values.
+    This is the planning half of a Hilbert-sorted range SCAN — on a
+    sorted table the same predicate prunes parquet row groups
+    (bench/bench_hilbert_scan.py measures it against Morton)."""
+    pts = D.points_from_documents(spark, sf_dir)
+    hdf = G.with_hilbert(pts, "lon", "lat", level=_HRS_LEVEL, out="hid")
+    lon_min, lat_min, lon_max, lat_max = _HRS_BBOX
+    return (
+        G.hilbert_range_scan(
+            hdf,
+            lon_min,
+            lat_min,
+            lon_max,
+            lat_max,
+            level=_HRS_LEVEL,
+            id_col="hid",
+            max_ranges=None,  # exact cover: ranges ARE the bbox
+        )
+        .groupBy("hid")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
 def _q_geo_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2E radius search: geohash cell + 8-neighborhood expansion as the
     candidate generator, exact haversine as the verdict — the classic
@@ -2605,11 +2641,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "semantic_dedup": _q_semantic_dedup,
         "approx_quantile_bound": _q_approx_quantile_bound,
+        # round 7: the Hilbert id's first consumer — exact bbox -> id-
+        # range cover, value-checked against a Hilbert-free grid oracle.
+        # Takes geo_box_tile_summary's slot (a composite whose pieces
+        # stay in-window: geo_box_join + geo_tile_assign + the flagship
+        # summary all keep driver rows; the composite moves to the tail).
+        "hilbert_range_scan": _q_hilbert_range_scan,
         # geospatial core
         "geo_cell_encode": _q_geo_cell_encode,
         "geo_tile_assign": _q_geo_tile_assign,
         "geo_box_join": _q_geo_box_join,
-        "geo_box_tile_summary": _q_geo_box_tile_summary,
         "geo_knn_exact": _q_geo_knn_exact,
         "tile_group_stats": _q_tile_group_stats,
         "tile_centroid_gagg": _q_tile_centroid_gagg,
@@ -2691,6 +2732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_radius_search": _q_geo_radius_search,
         # round 6 tail: Hilbert cell id (locality-optimal Morton sibling)
         "hilbert_cell_encode": _q_hilbert_cell_encode,
+        # round 7 rotation: the box-join x tile-assign composite (both
+        # primitives and the flagship summary keep in-window rows)
+        "geo_box_tile_summary": _q_geo_box_tile_summary,
         # round 6 tail: multiset set-ops + distribution windows (family
         # variants; set_except / window_top hold the window slots)
         "set_ops_all": _q_set_ops_all,
@@ -2956,6 +3000,31 @@ def oracle_sql() -> dict[str, str]:
             tiles AS (SELECT * FROM inside UNION SELECT * FROM sc)"""
     hilbert_ctes, hilbert_final = G.hilbert_sql_ctes(
         "lon", "lat", 5, "doc_id"
+    )
+    # hilbert_range_scan twin: select by the quantized GRID rectangle
+    # (no Hilbert, no ranges — independent ground truth), then encode
+    # the survivors longhand for the per-cell counts
+    hrs_ctes, hrs_final = G.hilbert_sql_ctes(
+        "lon", "lat", _HRS_LEVEL, "doc_id"
+    )
+    import numpy as _np
+
+    from harvester_fgp_spark.geo import cells as _hrs_cells
+
+    _hrs_n = 1 << _HRS_LEVEL
+    _hx0, _hy1 = _hrs_cells.lonlat_to_xy(
+        _np.array([_HRS_BBOX[0]]), _np.array([_HRS_BBOX[1]]), _HRS_LEVEL
+    )
+    _hx1, _hy0 = _hrs_cells.lonlat_to_xy(
+        _np.array([_HRS_BBOX[2]]), _np.array([_HRS_BBOX[3]]), _HRS_LEVEL
+    )
+    hrs_rect = (
+        f"GREATEST(0, LEAST({_hrs_n - 1}, CAST(FLOOR((lon + 180.0) / 360.0 "
+        f"* {float(_hrs_n)}) AS BIGINT))) BETWEEN {int(_hx0[0])} "
+        f"AND {int(_hx1[0])} AND "
+        f"GREATEST(0, LEAST({_hrs_n - 1}, CAST(FLOOR((90.0 - lat) / 180.0 "
+        f"* {float(_hrs_n)}) AS BIGINT))) BETWEEN {int(_hy0[0])} "
+        f"AND {int(_hy1[0])}"
     )
     ghp = G.geohash_sql_parts("lon", "lat", 6)
     ghn = G.geohash_sql_parts("lon", "lat", 6, "lonq2", "latq2")
@@ -4684,6 +4753,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT hd AS hid, COUNT(*) AS n_points,
                    CAST(hd >> 2 AS BIGINT) AS parent_hid
             FROM {hilbert_final} GROUP BY hd
+        """,
+        "hilbert_range_scan": f"""
+            WITH pts0 AS ({pts}),
+            pts_sel AS (
+                SELECT doc_id, lon, lat FROM pts0 WHERE {hrs_rect}
+            ),
+            {hrs_ctes.replace("__HILBERT_SRC__", "pts_sel")}
+            SELECT hd AS hid, COUNT(*) AS n_points
+            FROM {hrs_final} GROUP BY hd
         """,
         "set_ops_all": """
             WITH c AS (SELECT c_nationkey AS nk FROM customer),

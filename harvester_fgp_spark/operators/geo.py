@@ -1454,3 +1454,220 @@ def with_hilbert_decode(
     return staged.select(
         *base, F.col("_hx").alias(x_out), F.col("_hy").alias(y_out)
     )
+
+
+# --- Hilbert range cover + range scan (round 7: the id's first consumer) ------
+
+
+def _hilbert_ids_np(x: "np.ndarray", y: "np.ndarray", level: int) -> "np.ndarray":
+    """Numpy twin of ``with_hilbert``'s rotation loop over grid coords —
+    identical int64 arithmetic per level (two's-complement ``&`` on the
+    occasionally-negative rotated intermediates matches the JVM long
+    exactly), so driver-side planning (the range cover) and the
+    executor-side encode can never disagree. Parity is pytest-pinned
+    against with_hilbert on random grids."""
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    for i in range(level - 1, -1, -1):
+        s = 1 << i
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += (s * s) * ((3 * rx) ^ ry)
+        nx = np.where(ry == 0, np.where(rx == 1, s - 1 - y, y), x)
+        ny = np.where(ry == 0, np.where(rx == 1, s - 1 - x, x), y)
+        x, y = nx, ny
+    return d
+
+
+#: Driver-side planning guard: the cover enumerates the bbox's grid cells
+#: (exactness demands visiting each — Hilbert runs are not hierarchical
+#: in lon/lat space), so a cover at level L over a bbox spanning the
+#: whole grid costs 4^L cells. 2^22 cells (~34 MB of int64) plans in
+#: well under a second; a bigger ask means the level is too fine for a
+#: range PRUNE (row-group granularity) — cover coarser, filter exact.
+MAX_COVER_CELLS = 1 << 22
+
+
+def _merge_ranges(ids: "np.ndarray", max_ranges: "int | None") -> list:
+    """Sorted unique ids -> inclusive [lo, hi] runs; if more runs than
+    ``max_ranges``, coalesce across the SMALLEST inter-run gaps first
+    (deterministic stable tie-break) — trading bounded over-read for a
+    bounded predicate count (plan-size convention: a 64-term OR-of-
+    BETWEEN is cheap; an unbounded one is a Janino bill)."""
+    breaks = np.nonzero(np.diff(ids) > 1)[0]
+    starts = np.concatenate([ids[:1], ids[breaks + 1]])
+    ends = np.concatenate([ids[breaks], ids[-1:]])
+    if max_ranges is not None and len(starts) > max_ranges:
+        gaps = starts[1:] - ends[:-1]  # > 1 by construction
+        k = max_ranges - 1
+        keep = np.sort(np.argsort(-gaps, kind="stable")[:k])
+        starts = np.concatenate([starts[:1], starts[keep + 1]])
+        ends = np.concatenate([ends[keep], ends[-1:]])
+    return [(int(lo), int(hi)) for lo, hi in zip(starts, ends)]
+
+
+def _cover_grid(
+    lon_min: float,
+    lat_min: float,
+    lon_max: float,
+    lat_max: float,
+    level: int,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """All grid cells any point of the bbox quantizes into (the exact
+    with_hilbert / cell_encode quantization: x from lon, y from 90-lat,
+    clamped), as flat meshgrid arrays."""
+    if lon_max < lon_min or lat_max < lat_min:
+        raise ValueError("bbox must satisfy lon_min<=lon_max, lat_min<=lat_max")
+    n = 1 << level
+    gx0, gy1 = _cells.lonlat_to_xy(
+        np.array([lon_min]), np.array([lat_min]), level
+    )
+    gx1, gy0 = _cells.lonlat_to_xy(
+        np.array([lon_max]), np.array([lat_max]), level
+    )
+    x0, x1 = int(gx0[0]), int(gx1[0])
+    y0, y1 = int(gy0[0]), int(gy1[0])
+    n_cells = (x1 - x0 + 1) * (y1 - y0 + 1)
+    if n_cells > MAX_COVER_CELLS:
+        raise ValueError(
+            f"range cover would enumerate {n_cells} cells at level {level} "
+            f"(> {MAX_COVER_CELLS}); cover at a coarser level and keep the "
+            "exact lon/lat residual filter"
+        )
+    xs, ys = np.meshgrid(
+        np.arange(x0, x1 + 1, dtype=np.int64),
+        np.arange(y0, y1 + 1, dtype=np.int64),
+    )
+    _ = n  # quantization already clamped to [0, n)
+    return xs.ravel(), ys.ravel()
+
+
+def hilbert_range_cover(
+    lon_min: float,
+    lat_min: float,
+    lon_max: float,
+    lat_max: float,
+    level: int,
+    max_ranges: "int | None" = None,
+) -> "list[tuple[int, int]]":
+    """Bbox -> inclusive [lo, hi] Hilbert-id ranges at ``level`` — the
+    planning half of a Hilbert range SCAN: filter a Hilbert-sorted table
+    by these ranges and parquet row-group pruning does the rest (the
+    measured 8.1-vs-14.3 runs-per-window clustering win over Morton,
+    realized as fewer/denser contiguous id runs; bench_hilbert_scan.py
+    records the row-group counts).
+
+    With ``max_ranges=None`` the cover is EXACT: an id is inside some
+    range iff its cell's grid position lies in the bbox's quantized
+    rectangle (the driver-gate oracle recomputes this equivalence in
+    DuckDB with no Hilbert at all). A bounded ``max_ranges`` coalesces
+    the smallest gaps — over-read, never under-read — so callers keep a
+    residual exact filter (hilbert_range_scan does)."""
+    xs, ys = _cover_grid(lon_min, lat_min, lon_max, lat_max, level)
+    ids = np.unique(_hilbert_ids_np(xs, ys, level))
+    return _merge_ranges(ids, max_ranges)
+
+
+def morton_range_cover(
+    lon_min: float,
+    lat_min: float,
+    lon_max: float,
+    lat_max: float,
+    level: int,
+    max_ranges: "int | None" = None,
+) -> "list[tuple[int, int]]":
+    """Morton twin of ``hilbert_range_cover`` (same grid, same merge) —
+    exists so the scan-pruning comparison is apples-to-apples."""
+    xs, ys = _cover_grid(lon_min, lat_min, lon_max, lat_max, level)
+    ids = np.unique(_cells.interleave_xy(xs, ys))
+    return _merge_ranges(ids, max_ranges)
+
+
+def range_set_filter(col: Column, ranges: "list[tuple[int, int]]") -> Column:
+    """OR-of-BETWEEN over id ranges — plain comparisons on the sort/
+    min-max-stat column, so the parquet reader prunes row groups and the
+    whole predicate stays inside codegen."""
+    if not ranges:
+        return F.lit(False)
+    out = col.between(ranges[0][0], ranges[0][1])
+    for lo, hi in ranges[1:]:
+        out = out | col.between(lo, hi)
+    return out
+
+
+def hilbert_range_scan(
+    df: DataFrame,
+    lon_min: float,
+    lat_min: float,
+    lon_max: float,
+    lat_max: float,
+    level: int,
+    id_col: str = "hilbert_id",
+    max_ranges: "int | None" = 64,
+    lon_col: "str | None" = None,
+    lat_col: "str | None" = None,
+    strategy: str = "join",
+) -> DataFrame:
+    """Filter a Hilbert-keyed frame to a bbox via the range cover. When
+    the cover was coalesced (``max_ranges``) AND lon/lat columns are
+    named, an exact residual bbox filter restores cell-exact semantics
+    on the over-read; with ``max_ranges=None`` the ranges alone are
+    already exact.
+
+    ``strategy`` picks how the range set meets the rows:
+
+    - ``"join"`` (default): broadcast the [lo, hi] table and join on
+      ``id BETWEEN lo AND hi`` — a <= 64-row nested-loop probe per row.
+      REQUIRED when ``id_col`` was just computed by ``with_hilbert``:
+      a literal predicate gets pushed through every staged rotation
+      projection, re-inlining the per-level expression that triples per
+      level (measured: ONE equality inlined to a ~1 MB condition at
+      level 6 — the plan-time explosion the staged encode exists to
+      avoid). The join keeps the id as a once-computed attribute, and
+      scales to arbitrarily long covers without growing the plan.
+    - ``"filter"``: literal OR-of-BETWEEN — use on a STORED id column
+      (a Hilbert-sorted table), where pushdown is the whole point: the
+      comparisons reach the parquet reader and prune row groups via
+      min/max stats (bench/bench_hilbert_scan.py measures it).
+    """
+    ranges = hilbert_range_cover(
+        lon_min, lat_min, lon_max, lat_max, level, max_ranges
+    )
+    if strategy == "filter":
+        out = df.filter(range_set_filter(F.col(id_col), ranges))
+    elif strategy == "join":
+        rng = df.sparkSession.createDataFrame(
+            ranges, "_rlo long, _rhi long"
+        )
+        out = df.join(
+            F.broadcast(rng),
+            (F.col(id_col) >= F.col("_rlo"))
+            & (F.col(id_col) <= F.col("_rhi")),
+        ).drop("_rlo", "_rhi")
+    else:
+        raise ValueError("strategy must be 'join' or 'filter'")
+    if max_ranges is not None and lon_col is not None and lat_col is not None:
+        n = 1 << level
+        x = F.floor(
+            (F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))
+        )
+        y = F.floor(
+            (F.lit(90.0) - F.col(lat_col)) / F.lit(180.0) * F.lit(float(n))
+        )
+        nmax, zero = F.lit(n - 1), F.lit(0)
+        x = F.greatest(zero, F.least(nmax, x)).cast("long")
+        y = F.greatest(zero, F.least(nmax, y)).cast("long")
+        gx0, gy1 = _cells.lonlat_to_xy(
+            np.array([lon_min]), np.array([lat_min]), level
+        )
+        gx1, gy0 = _cells.lonlat_to_xy(
+            np.array([lon_max]), np.array([lat_max]), level
+        )
+        out = out.filter(
+            (x >= int(gx0[0]))
+            & (x <= int(gx1[0]))
+            & (y >= int(gy0[0]))
+            & (y <= int(gy1[0]))
+        )
+    return out
