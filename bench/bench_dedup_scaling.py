@@ -122,12 +122,13 @@ def main() -> None:
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
     assert lo["pairs"] == hi["pairs"], (lo, hi)
     md = f"""
-## Dedup-path scaling at {n / 1e6:g}M docs (round 6, {stamp})
+## Dedup-path scaling at {n / 1e6:g}M docs ({stamp})
 
 `python bench/bench_dedup_scaling.py {n} {n_low} {n_high}` — the minhash
-near-dup pipeline (signature pandas-UDF -> 20-byte band shuffle ->
-bucket pair expansion -> auto-sized broadcast text fetch -> exact
-Jaccard verify) on seed-42 pages + 1% planted duplicates
+near-dup pipeline (fused Arrow-native signature+banding mapInArrow
+stage -> fixed-width band shuffle -> bucket pair expansion -> auto-sized
+broadcast text fetch -> exact Jaccard verify) on seed-42 pages + 1%
+planted duplicates
 ({lo["docs"]:,} docs, {lo["pairs"]:,} verified pairs, identical at both
 levels); fresh taskset-pinned subprocess per run, small-slice warmup,
 best of 2 interleaved attempts per level.

@@ -411,6 +411,15 @@ def band_table(
     )
 
     def _bands(batches):
+        # NOTE (negative result, round 7): re-chunking the 16384-row
+        # session batch into 1024-doc slices makes the kernel 2.3x
+        # faster single-thread (cache-resident passes) and +8% at
+        # pinned local[4], but DROPPED pinned local[16] throughput
+        # 16-17% in two full scaling runs (0.783 -> 0.61-0.65) whether
+        # slice outputs were yielded individually (Arrow IPC framing) or
+        # concatenated (copy + interpreter overhead where cores are
+        # plentiful). Whole-batch processing wins the 4N side, which is
+        # the production regime — keep it.
         for batch in batches:
             out = _band_rows_arrow(batch.column(0), batch.column(1), id_col)
             if out is not None:
