@@ -434,6 +434,7 @@ def compact_records(
     out_dir: str,
     target_rows_per_file: int = 1_000_000,
     sort_col: str = "cell_id",
+    cluster: str = "morton",
 ) -> None:
     """Small-file COMPACTION for the record sink (the operational chore a
     per-tile streaming/incremental writer makes unavoidable at 100 TB:
@@ -447,7 +448,13 @@ def compact_records(
     dominant read pattern) — compaction and clustering in one rewrite.
     The default sort key (cell_id) is the Morton code, so this IS
     Z-order clustering: one-dimensional sort order that keeps both lat
-    and lon locality inside every row group.
+    and lon locality inside every row group. ``cluster="hilbert"``
+    (round 7) sorts by the level-8 Hilbert id of each record's point
+    (bbox records fall back to their wrap-aware bbox center) as a sort
+    EXPRESSION — the output schema is untouched, and bbox range scans
+    over the compacted table touch fewer row groups than under Morton
+    (measured 12/123 vs 16/123 at 8M rows, bench_hilbert_scan.py; the
+    same clustering-metric win as the 8.1-vs-14.3 runs/window number).
 
     The per-tile file budget is enforced STRUCTURALLY, not by hashing:
     repartition on tile_id puts a tile's rows in exactly one task, and
@@ -459,9 +466,38 @@ def compact_records(
     the lineage audit stays green across a compaction by construction).
     """
     df = spark.read.parquet(out_dir)
+    drop_cols: list = []
+    if cluster == "hilbert":
+        from ..operators.geo import bbox_center_lon_col, with_hilbert
+
+        # STAGED encode, never the single hilbert_encode_col expression:
+        # its tree triples per level and Janino takes minutes compiling
+        # the level-8 form (the round-6 plan-time lesson, re-hit here);
+        # the staged projections are linear and the helper columns are
+        # dropped before the write, so the output schema is unchanged
+        df = df.withColumn(
+            "_hlat",
+            F.coalesce(
+                F.col("lat"), (F.col("south") + F.col("north")) / F.lit(2.0)
+            ),
+        ).withColumn(
+            "_hlon",
+            F.coalesce(
+                F.col("lon"),
+                bbox_center_lon_col(F.col("west"), F.col("east")),
+            ),
+        )
+        df = with_hilbert(df, "_hlon", "_hlat", level=8, out="_hsort")
+        sort_key = F.col("_hsort")
+        drop_cols = ["_hlat", "_hlon", "_hsort"]
+    elif cluster == "morton":
+        sort_key = F.col(sort_col)
+    else:
+        raise ValueError("cluster must be 'morton' or 'hilbert'")
     compacted = (
         df.repartition(F.col("tile_id"))
-        .sortWithinPartitions("tile_id", sort_col)
+        .sortWithinPartitions(F.col("tile_id"), sort_key)
+        .drop(*drop_cols)
         # Spark refuses to overwrite a path that its own plan reads
         # (analysis-time check; persist does NOT lift it). localCheckpoint
         # cuts the lineage to a materialized base, making the in-place

@@ -48,6 +48,74 @@ def test_embeddings_fixture_has_no_natural_near_twins(sf_dir):
     )
 
 
+def test_compact_records_hilbert_clustering(spark, tmp_path):
+    """cluster='hilbert' (round 7): same rows, same schema (the sort key
+    is an expression, never a column), and within every compacted file
+    the records are non-decreasing in their level-8 Hilbert id — the
+    clustering bench_hilbert_scan.py showed prunes bbox range scans
+    better than Morton."""
+    import glob
+    import os
+
+    from harvester_fgp_spark.plans.pipeline import mine_records
+    from harvester_fgp_spark.sinks import checkpoint as C
+    from harvester_fgp_spark.synth import generate_polygons, pages_df
+
+    out = str(tmp_path / "records")
+    cp = str(tmp_path / "checkpoint")
+    records = C.with_tile_id(
+        mine_records(spark, pages_df(spark, 800, seed=42),
+                     generate_polygons(60, seed=42))
+    )
+    C.write_records_and_checkpoint(
+        records.repartition(16), out, cp, run_id="run1"
+    )
+    before = spark.read.parquet(out)
+    before_rows = before.count()
+    before_cols = before.columns
+    C.compact_records(spark, out, target_rows_per_file=50, cluster="hilbert")
+    after = spark.read.parquet(out)
+    assert after.count() == before_rows
+    assert sorted(after.columns) == sorted(before_cols)
+    # monotonicity via the numpy twin (bit-exact parity with the Spark
+    # sort expression is pinned by test_hilbert_range) — per-file Spark
+    # jobs here took minutes; pyarrow reads take milliseconds
+    from harvester_fgp_spark.geo import cells as _cells
+    from harvester_fgp_spark.operators.geo import _hilbert_ids_np
+
+    def _file_hids(path):
+        t = pq.read_table(
+            path, columns=["lat", "lon", "west", "east", "south", "north"]
+        ).to_pandas()
+        lat = t.lat.to_numpy(dtype=float)
+        lon = t.lon.to_numpy(dtype=float)
+        s, n = t.south.to_numpy(float), t.north.to_numpy(float)
+        w, e = t.west.to_numpy(float), t.east.to_numpy(float)
+        lat = np.where(np.isnan(lat), (s + n) / 2.0, lat)
+        raw = (w + e) / 2.0
+        m = raw + 180.0
+        m = np.where(m > 180.0, m - 360.0, m)
+        lon = np.where(np.isnan(lon), np.where(w <= e, raw, m), lon)
+        x, y = _cells.lonlat_to_xy(lon, lat, 8)
+        return _hilbert_ids_np(x, y, 8)
+
+    files = [
+        f
+        for f in glob.glob(os.path.join(out, "tile_id=*", "*.parquet"))
+        if os.path.getsize(f) > 0
+    ]
+    checked = 0
+    for f in files:
+        hids = _file_hids(f)
+        if len(hids) < 2:
+            continue
+        assert (np.diff(hids) >= 0).all(), f
+        checked += 1
+    assert checked > 3
+    with pytest.raises(ValueError):
+        C.compact_records(spark, out, cluster="zorder-nope")
+
+
 def test_arrow_gram_kernel_structure_matches_pandas_kernel():
     """The Arrow band kernel and the pandas gram kernel (still used by
     jaccard_udf) must induce the SAME gram-equality structure — same
