@@ -1572,6 +1572,26 @@ def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization recall@1 under the exact gate (round 7) —
+    the compressed-ANN scale path: m=8 sub-quantizers (32x storage cut
+    for float32 vectors), per-query ADC table built ONCE natively, the
+    code scan costs m lookups per pair, exact rerank of the shortlist.
+    Same planted fixture and brute-force DuckDB twin as ann_lsh/ivf:
+    an identical vector's codes are the per-subspace argmins for the
+    query itself, so its ADC distance is the GLOBAL minimum — it makes
+    every shortlist whatever KMeans chose, and exact rerank pins it at
+    rank 1 (cos 1.0 vs natural max ~0.51)."""
+    from harvester_fgp_spark.operators.similarity import pq_topk, pq_train
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=8, k=16)
+    res = pq_topk(emb, _planted_ann_queries(spark, sf_dir), cb, k=3)
+    return res.filter(F.col("rank") == 1).select(
+        "q_id", F.col("c_id").alias("top1_id"), "cos_sim"
+    )
+
+
 def _q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full E1->E2->G1->G4->G7 pipeline on synthetic pages (rows-only)."""
     from harvester_fgp_spark.plans.pipeline import mine_records, tile_summary
@@ -2621,6 +2641,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the tail; pytest recall floors still guard general recall)
         "ann_lsh_recall": _q_ann_lsh_recall,
         "ann_ivf_recall": _q_ann_ivf_recall,
+        # round 7: product quantization — the compressed-ANN member of
+        # the family (ADC shortlist + exact rerank). Takes
+        # tile_centroid_gagg's slot (A4's GROUPED_AGG surface keeps its
+        # plan-shape pytest + local oracle; grouped-map tile_group_stats
+        # holds the A4 window row).
+        "ann_pq_recall": _q_ann_pq_recall,
         # round 6: the HLL error BOUND under the exact gate (the rows-
         # only estimate surface approx_distinct_users moves to the tail
         # — same aggregation, now with its quality hash-checked)
@@ -2653,7 +2679,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_box_join": _q_geo_box_join,
         "geo_knn_exact": _q_geo_knn_exact,
         "tile_group_stats": _q_tile_group_stats,
-        "tile_centroid_gagg": _q_tile_centroid_gagg,
         "geo_bbox_cover_wrap": _q_geo_bbox_cover_wrap,
         "polygon_raster_sql": _q_polygon_raster_sql,
         "geo_dbscan": _q_geo_dbscan,
@@ -2735,6 +2760,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 7 rotation: the box-join x tile-assign composite (both
         # primitives and the flagship summary keep in-window rows)
         "geo_box_tile_summary": _q_geo_box_tile_summary,
+        # round 7 rotation: A4's GROUPED_AGG surface (grouped-map
+        # tile_group_stats holds the window row; plan-shape pytest +
+        # local oracle keep gating this one)
+        "tile_centroid_gagg": _q_tile_centroid_gagg,
         # round 6 tail: multiset set-ops + distribution windows (family
         # variants; set_except / window_top hold the window slots)
         "set_ops_all": _q_set_ops_all,
@@ -3340,6 +3369,9 @@ def oracle_sql() -> dict[str, str]:
         "polygon_tiles_digest": polygon_tiles_digest_sql,
         "ann_lsh_recall": ann_recall_sql,
         "ann_ivf_recall": ann_recall_sql,
+        # PQ shares the twin: the oracle derives ground truth by brute
+        # force on RAW vectors, blind to how the index shortlisted
+        "ann_pq_recall": ann_recall_sql,
         "geo_cell_encode": f"""
             WITH pts AS ({pts}),
             cells AS (

@@ -49,6 +49,9 @@ BENCH_QUERIES = (
     "track_stats",
     "geo_radius_search",
     "hilbert_cell_encode",
+    # round 7: bbox -> Hilbert range cover -> broadcast range join over
+    # the staged encode (the plan shape literal predicates can't take)
+    "hilbert_range_scan",
 )
 # NOT benched: geo_dbscan — at sf0.1 the fixture percolates into one giant
 # cluster and the contraction loop's per-round FIXED cost (a handful of

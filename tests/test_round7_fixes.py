@@ -163,6 +163,61 @@ def test_arrow_gram_kernel_structure_matches_pandas_kernel():
     assert (canon(h1) == canon(h2)).all()
 
 
+def test_pq_codes_shape_and_twin_identity(spark):
+    """PQ encoder invariants: m codes per vector, every code < k, and
+    identical vectors encode identically under ANY codebook (the
+    centroid-invariance the gate oracle leans on)."""
+    from pyspark.sql import functions as F
+
+    from harvester_fgp_spark.operators.similarity import pq_encode, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cb = pq_train(emb, m=8, k=16)
+    assert len(cb) == 8 and all(len(sub) == 16 for sub in cb)
+    both = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + 10000)
+    )
+    codes = pq_encode(both, cb).toPandas()
+    assert (codes.codes.str.len() == 8).all()
+    assert codes.codes.map(max).max() < 16
+    by_id = dict(zip(codes.c_id, codes.codes.map(tuple)))
+    for vid in list(by_id):
+        if vid < 10000:
+            assert by_id[vid] == by_id[vid + 10000]
+
+
+def test_pq_drift_recall(spark):
+    """Perturbed-query tier (the IVF drift test applied to PQ): eps-noised
+    copies must still retrieve their origin at rank 1 through the ADC
+    shortlist + exact rerank — codes may shift at quantization
+    boundaries, but the 32-deep shortlist + rerank absorbs it."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from harvester_fgp_spark.operators.similarity import pq_topk, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pdf = emb.orderBy("vec_id").limit(20).toPandas()
+    rng = np.random.default_rng(3)
+    noised = [
+        (int(r.vec_id) + 50000,
+         (np.array(r.embedding) + rng.normal(scale=1e-3, size=64))
+         .astype("float32").tolist())
+        for r in pdf.itertuples()
+    ]
+    queries = spark.createDataFrame(
+        pd.DataFrame(noised, columns=["vec_id", "embedding"])
+    )
+    cb = pq_train(emb, m=8, k=16)
+    top1 = (
+        pq_topk(emb, queries, cb, k=1)
+        .filter(F.col("rank") == 1)
+        .toPandas()
+    )
+    hits = (top1.c_id == top1.q_id - 50000).mean()
+    assert hits >= 0.95, hits
+
+
 def test_semantic_dedup_auto_k_planted(spark):
     """Auto-sized quantizer (n_cells=None, VERDICT r6 next-#5): planted
     exact twins are still dropped exactly — the dedup output at
