@@ -1592,6 +1592,22 @@ def _q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ recall@1 (round 7, tail — the in-window ann_pq_recall
+    keeps the PQ slot): coarse cells scope the scan (equi-join, the
+    plain-PQ crossJoin never materializes), ADC codes pay m lookups per
+    scanned pair, exact rerank. Codes over RAW vectors keep the
+    planted-twin argument verbatim: the twin shares the query's cell AND
+    holds the global-minimum ADC distance under any quantizer."""
+    from harvester_fgp_spark.operators.similarity import ivf_pq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    res = ivf_pq_topk(emb, _planted_ann_queries(spark, sf_dir), k=3)
+    return res.filter(F.col("rank") == 1).select(
+        "q_id", F.col("c_id").alias("top1_id"), "cos_sim"
+    )
+
+
 def _q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full E1->E2->G1->G4->G7 pipeline on synthetic pages (rows-only)."""
     from harvester_fgp_spark.plans.pipeline import mine_records, tile_summary
@@ -2764,6 +2780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tile_group_stats holds the window row; plan-shape pytest +
         # local oracle keep gating this one)
         "tile_centroid_gagg": _q_tile_centroid_gagg,
+        # round 7 tail: the IVF x PQ composition (ann_pq_recall holds
+        # the family's window slot; same brute-force raw-vector twin)
+        "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         # round 6 tail: multiset set-ops + distribution windows (family
         # variants; set_except / window_top hold the window slots)
         "set_ops_all": _q_set_ops_all,
@@ -3369,9 +3388,10 @@ def oracle_sql() -> dict[str, str]:
         "polygon_tiles_digest": polygon_tiles_digest_sql,
         "ann_lsh_recall": ann_recall_sql,
         "ann_ivf_recall": ann_recall_sql,
-        # PQ shares the twin: the oracle derives ground truth by brute
-        # force on RAW vectors, blind to how the index shortlisted
+        # PQ/IVF-PQ share the twin: the oracle derives ground truth by
+        # brute force on RAW vectors, blind to how the index shortlisted
         "ann_pq_recall": ann_recall_sql,
+        "ann_ivfpq_recall": ann_recall_sql,
         "geo_cell_encode": f"""
             WITH pts AS ({pts}),
             cells AS (

@@ -733,3 +733,152 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", "cos_sim")
     )
+
+
+def _adc_expr(codebook: list) -> "tuple[Column, Column]":
+    """(per-query ADC table over ``q_emb``, per-pair ADC sum over
+    ``codes`` + ``_t``) — the two native HOF expressions pq_topk and
+    ivf_pq_topk share (one construction so the twins cannot drift)."""
+    m = len(codebook)
+    dsub = len(codebook[0][0])
+    cb_lit = F.lit(codebook)
+    table = F.transform(
+        cb_lit,
+        lambda sub, mi: F.transform(
+            sub,
+            lambda ctr: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("q_emb"), mi * F.lit(dsub) + 1, dsub),
+                    ctr,
+                    lambda x, y: (x.cast("double") - y) ** 2,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, i: F.element_at(
+                F.element_at(F.col("_t"), i + 1), c + 1
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return table, adc
+
+
+def _pq_rerank(
+    short: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    emb_col: str,
+) -> DataFrame:
+    """Exact cosine rerank of an ADC shortlist (q_id, q_emb, _qn, c_id)
+    against raw corpus embeddings — shared pq/ivf-pq tail."""
+    cand = corpus.filter(F.col(emb_col).isNotNull()).select(
+        F.col(id_col).alias("c_id"),
+        F.col(emb_col).alias("c_emb"),
+        F.sqrt(_dot(emb_col, emb_col)).alias("_cn"),
+    )
+    ranked = F.broadcast(short).join(cand, "c_id").withColumn(
+        "cos_sim",
+        F.round(_dot("q_emb", "c_emb") / (F.col("_qn") * F.col("_cn")), 6),
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", "cos_sim")
+    )
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebook: "list | None" = None,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    kc: int = 16,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the production ANN serving layout (Jegou et al. 2011,
+    the FAISS IVFPQ shape): a coarse n_cells quantizer scopes the scan
+    (equi-join on the int cell id — the crossJoin in plain pq_topk never
+    materializes), PQ codes make the scan inside each probed cell m
+    lookups per pair over 32x-compressed rows, exact cosine reranks the
+    shortlist. Per-probe cost: n_probe/n_cells of the corpus at m
+    lookups/row — the knob pair that holds latency flat while the corpus
+    grows 100x.
+
+    Codes are PQ over RAW vectors (not residuals): the planted-twin
+    determinism argument then carries verbatim — an identical vector
+    lands in the identical cell AND its codes are the per-subspace
+    argmins for the query, so it survives both the probe and the ADC
+    shortlist under ANY quantizer, and exact rerank pins rank 1."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = vectors.sparkSession
+    if codebook is None:
+        codebook = pq_train(vectors, m=m, k=kc, emb_col=emb_col)
+    vec = vectors.filter(F.col(emb_col).isNotNull()).withColumn(
+        "_v", array_to_vector(F.col(emb_col))
+    )
+    coarse = KMeans(
+        k=n_cells, seed=7, featuresCol="_v", predictionCol="_cell"
+    ).fit(vec)
+    enc = pq_encode_udf(codebook)
+    codes = coarse.transform(vec).select(
+        F.col(id_col).alias("c_id"),
+        F.col("_cell").alias("cell"),
+        enc(F.col(emb_col)).alias("codes"),
+    )
+    ctr = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(coarse.clusterCenters())
+        ],
+        "cell int, ctr array<double>",
+    )
+    table, adc = _adc_expr(codebook)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"), F.col("ctr"), lambda x, y: (x.cast("double") - y) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.asc("_d2"), F.asc("cell"))
+    qs = (
+        queries.filter(F.col(emb_col).isNotNull())
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col(emb_col).alias("q_emb"),
+            F.sqrt(_dot(emb_col, emb_col)).alias("_qn"),
+        )
+        .withColumn("_t", table)
+        .crossJoin(F.broadcast(ctr))
+        .withColumn("_d2", d2)
+        .withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= n_probe)
+        .select("q_id", "q_emb", "_qn", "_t", "cell")
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.asc("_adc"), F.asc("c_id"))
+    short = (
+        qs.join(codes, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("_adc", adc)
+        .withColumn("_sr", F.row_number().over(ws))
+        .filter(F.col("_sr") <= shortlist)
+        .select("q_id", "q_emb", "_qn", "c_id")
+    )
+    return _pq_rerank(short, vectors, k, id_col, emb_col)

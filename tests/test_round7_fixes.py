@@ -218,6 +218,37 @@ def test_pq_drift_recall(spark):
     assert hits >= 0.95, hits
 
 
+def test_ivf_pq_drift_recall(spark):
+    """IVF-PQ under eps-drift: the noised query must survive BOTH the
+    coarse probe (n_probe=4 of 16 cells) and the ADC shortlist, then
+    rerank to its origin — the composition can only lose recall at the
+    probe, and 1e-3 noise doesn't move a vector across 4 probed cells."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from harvester_fgp_spark.operators.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pdf = emb.orderBy("vec_id").limit(20).toPandas()
+    rng = np.random.default_rng(5)
+    noised = [
+        (int(r.vec_id) + 50000,
+         (np.array(r.embedding) + rng.normal(scale=1e-3, size=64))
+         .astype("float32").tolist())
+        for r in pdf.itertuples()
+    ]
+    queries = spark.createDataFrame(
+        pd.DataFrame(noised, columns=["vec_id", "embedding"])
+    )
+    top1 = (
+        ivf_pq_topk(emb, queries, k=1)
+        .filter(F.col("rank") == 1)
+        .toPandas()
+    )
+    hits = (top1.c_id == top1.q_id - 50000).mean()
+    assert hits >= 0.95, hits
+
+
 def test_semantic_dedup_auto_k_planted(spark):
     """Auto-sized quantizer (n_cells=None, VERDICT r6 next-#5): planted
     exact twins are still dropped exactly — the dedup output at
