@@ -170,3 +170,29 @@ def test_record_sink_partition_pruning(spark, tmp_path):
     # the tile predicate must NOT survive as a row-level PushedFilter —
     # it is satisfied by directory pruning alone
     assert "PushedFilters: []" in plan
+
+
+def test_ivf_pq_code_scan_is_equi_join(spark, sf_dir):
+    """IVF-PQ's code scan must join queries to code lists on the int
+    cell key (hash/SMJ equi-join): the ONLY nested-loop allowed is the
+    16-row broadcast centroid probe — a second NLJ would mean the scan
+    degenerated to plain-PQ's labeled brute force."""
+    from pyspark.sql import functions as F
+
+    from harvester_fgp_spark.operators.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    res = ivf_pq_topk(emb, queries, k=2)
+    res.collect()
+    plan = _plan(res)
+    assert "CartesianProduct" not in plan
+    # AQE prints the final AND initial plans — count in the final only:
+    # exactly one NLJ, the tiny centroid-probe crossJoin
+    final = plan.split("== Initial Plan", 1)[0]
+    assert final.count("BroadcastNestedLoopJoin") == 1
+    assert ("SortMergeJoin" in final) or ("ShuffledHashJoin" in final) or (
+        final.count("BroadcastHashJoin") >= 2  # cell scan + rerank
+    )
