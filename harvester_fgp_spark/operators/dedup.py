@@ -204,7 +204,11 @@ def _word_gram_hashes_arrow(
     prev = np.empty(len(nonws), dtype=bool)
     prev[0] = True
     prev[1:] = ~nonws[:-1]
-    prev[offsets[:-1] - lo] = True
+    # doc-start break positions: an EMPTY/NULL doc at the END of the
+    # batch has offsets[i] == hi, one past the slice — mask it (there is
+    # no byte to break at; the no-gram rule already covers such docs)
+    ds = offsets[:-1] - lo
+    prev[ds[ds < hi - lo]] = True
     starts = np.flatnonzero(nonws & prev).astype(np.int64)
     n_words = len(starts)
     if n_words == 0:
@@ -664,13 +668,19 @@ def minhash_incremental_pairs(
         .filter(F.col(id_col).isNotNull() & F.col("bh").isNotNull())
         .withColumn("_new", F.lit(0))
     )
+    if max_bucket_size is not None:
+        # The guard consumes the band union TWICE (size screen + member
+        # join) and Spark never CSEs multi-consumer subtrees — so
+        # materialize ONLY the new batch's rows (the part whose
+        # signature kernel must run once); the store side is already
+        # parquet and re-scans at columnar cost. Checkpointing the whole
+        # union would write O(store) rows into executor storage per
+        # batch, growing with every batch (round-7 review finding).
+        new_bands = new_bands.localCheckpoint()
     allb = old_bands.unionByName(
         new_bands.select(id_col, "band", "bh", "_new")
     )
     if max_bucket_size is not None:
-        # materialize the 20-byte band rows ONCE (signatures run once),
-        # then size-screen buckets before any member array exists
-        allb = allb.localCheckpoint()
         sizes = allb.groupBy("band", "bh").agg(
             F.count("*").alias("_k"), F.max("_new").alias("_has_new")
         )

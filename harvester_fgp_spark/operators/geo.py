@@ -1610,10 +1610,12 @@ def hilbert_range_scan(
     strategy: str = "join",
 ) -> DataFrame:
     """Filter a Hilbert-keyed frame to a bbox via the range cover. When
-    the cover was coalesced (``max_ranges``) AND lon/lat columns are
-    named, an exact residual bbox filter restores cell-exact semantics
-    on the over-read; with ``max_ranges=None`` the ranges alone are
-    already exact.
+    the cover is coalesced (``max_ranges``), lon/lat columns MUST be
+    named so the exact residual bbox filter can restore cell-exact
+    semantics on the over-read (enforced — a coalesced cover without
+    the residual would silently return out-of-bbox rows from the merged
+    gaps); with ``max_ranges=None`` the ranges alone are already exact
+    and no residual is needed.
 
     ``strategy`` picks how the range set meets the rows:
 
@@ -1631,6 +1633,12 @@ def hilbert_range_scan(
       comparisons reach the parquet reader and prune row groups via
       min/max stats (bench/bench_hilbert_scan.py measures it).
     """
+    if max_ranges is not None and (lon_col is None or lat_col is None):
+        raise ValueError(
+            "hilbert_range_scan: a coalesced cover (max_ranges set) "
+            "over-reads by construction — name lon_col/lat_col for the "
+            "exact residual filter, or pass max_ranges=None"
+        )
     ranges = hilbert_range_cover(
         lon_min, lat_min, lon_max, lat_max, level, max_ranges
     )

@@ -585,7 +585,10 @@ def pq_train(
     from pyspark.ml.functions import array_to_vector
 
     vec = vectors.filter(F.col(emb_col).isNotNull())
-    d = vec.select(F.size(emb_col).alias("d")).first()["d"]
+    row = vec.select(F.size(emb_col).alias("d")).first()
+    if row is None:
+        raise ValueError("pq_train: corpus has no non-null embeddings")
+    d = row["d"]
     if d % m != 0:
         raise ValueError(f"embedding dim {d} not divisible by m={m}")
     dsub = d // m
@@ -672,43 +675,21 @@ def pq_topk(
     for the query itself, so its ADC distance is the GLOBAL minimum any
     candidate can achieve — it makes every shortlist >= 1 regardless of
     what KMeans chose, and the exact rerank puts it at rank 1."""
-    m = len(codebook)
-    cb_lit = F.lit(codebook)
-    dsub = len(codebook[0][0])
-    q_emb = F.col("q_emb")
-    adc_table = F.transform(
-        cb_lit,
-        lambda sub, mi: F.transform(
-            sub,
-            lambda ctr: F.aggregate(
-                F.zip_with(
-                    F.slice(q_emb, mi * F.lit(dsub) + 1, dsub),
-                    ctr,
-                    lambda x, y: (x.cast("double") - y) ** 2,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        ),
+    # the ADC table/sum and exact-rerank tail are the SHARED helpers
+    # below (_adc_expr/_pq_rerank) — one construction for both pq_topk
+    # and ivf_pq_topk so the twins cannot drift (round-7 review fix:
+    # this function originally inlined verbatim copies)
+    table, adc = _adc_expr(codebook)
+    qs = (
+        queries.filter(F.col(emb_col).isNotNull())
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col(emb_col).alias("q_emb"),
+            F.sqrt(_dot(emb_col, emb_col)).alias("_qn"),
+        )
+        .withColumn("_t", table)
     )
-    qs = queries.filter(F.col(emb_col).isNotNull()).select(
-        F.col(id_col).alias("q_id"),
-        F.col(emb_col).alias("q_emb"),
-        F.sqrt(_dot(emb_col, emb_col)).alias("_qn"),
-    )
-    qs = qs.withColumn("_t", adc_table)
     codes = pq_encode(corpus, codebook, id_col, emb_col)
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, i: F.element_at(
-                F.element_at(F.col("_t"), i + 1), c + 1
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     ws = Window.partitionBy("q_id").orderBy(F.asc("_adc"), F.asc("c_id"))
     short = (
         codes.crossJoin(F.broadcast(qs))
@@ -718,21 +699,7 @@ def pq_topk(
         .filter(F.col("_sr") <= shortlist)
         .select("q_id", "q_emb", "_qn", "c_id")
     )
-    cand = corpus.filter(F.col(emb_col).isNotNull()).select(
-        F.col(id_col).alias("c_id"),
-        F.col(emb_col).alias("c_emb"),
-        F.sqrt(_dot(emb_col, emb_col)).alias("_cn"),
-    )
-    ranked = F.broadcast(short).join(cand, "c_id").withColumn(
-        "cos_sim",
-        F.round(_dot("q_emb", "c_emb") / (F.col("_qn") * F.col("_cn")), 6),
-    )
-    wr = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
-    return (
-        ranked.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", "rank", "cos_sim")
-    )
+    return _pq_rerank(short, corpus, k, id_col, emb_col)
 
 
 def _adc_expr(codebook: list) -> "tuple[Column, Column]":

@@ -163,6 +163,72 @@ def test_arrow_gram_kernel_structure_matches_pandas_kernel():
     assert (canon(h1) == canon(h2)).all()
 
 
+def test_arrow_gram_kernel_trailing_empty_docs():
+    """Round-7 review fix: an empty/null doc at the END of a batch has
+    offsets[i] == buffer end — the doc-start break must be masked, not
+    written one past the slice (was IndexError)."""
+    import pyarrow as pa
+
+    from harvester_fgp_spark.operators.dedup import (
+        _string_buffers,
+        _word_gram_hashes_arrow,
+    )
+
+    for docs in (
+        ["hello world foo bar baz", ""],
+        ["a b c d e", None],
+        ["", ""],
+        ["x y z", "", None, ""],
+    ):
+        col = pa.array(docs, type=pa.string())
+        offs, data = _string_buffers(col)
+        gr, gh = _word_gram_hashes_arrow(offs, data)
+        # only the non-empty docs contribute grams
+        nonempty = [i for i, d in enumerate(docs) if d]
+        assert set(gr.tolist()) <= set(nonempty)
+        if nonempty:
+            assert len(gr) > 0
+
+
+def test_hilbert_range_scan_coalesced_requires_residual(spark):
+    """Round-7 review fix: a coalesced cover over-reads by construction,
+    so max_ranges without lon/lat residual columns must refuse loudly
+    instead of silently returning out-of-bbox rows."""
+    from pyspark.sql import functions as F
+
+    from harvester_fgp_spark.operators import geo as G
+
+    df = spark.range(10).select(F.col("id").alias("hid"))
+    with pytest.raises(ValueError, match="residual"):
+        G.hilbert_range_scan(
+            df, -30, 10, 40, 55, level=6, id_col="hid", max_ranges=4
+        )
+
+
+def test_pq_train_empty_corpus_raises(spark):
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from harvester_fgp_spark.operators.similarity import pq_train
+
+    empty = spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(FloatType())),
+            ]
+        ),
+    )
+    with pytest.raises(ValueError, match="no non-null embeddings"):
+        pq_train(empty)
+
+
 def test_pq_codes_shape_and_twin_identity(spark):
     """PQ encoder invariants: m codes per vector, every code < k, and
     identical vectors encode identically under ANY codebook (the
