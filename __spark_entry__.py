@@ -39,6 +39,26 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _read_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_read, round-robined across the session's cores when the scan
+    itself cannot split (round 8, guide §2.5 "input skew: one huge
+    unsplittable file ... repartition immediately after the read").
+
+    The driver fixture tables are SINGLE-ROW-GROUP parquet files, so a
+    parquet scan yields one task no matter what minPartitionNum asks
+    for; queries whose plans are otherwise shuffle-free (the Arrow
+    tokenizer/band kernels) would run their entire kernel on one core.
+    The repartition shuffles only the fixture's own bytes (MBs). It is
+    conditional on the scan's actual split count, so a production corpus
+    with many files/row groups — where the same shuffle would be O(input)
+    — keeps its natural splits and never pays it."""
+    df = _read(spark, sf_dir, name)
+    parts = int(spark.sparkContext.defaultParallelism)
+    if df.rdd.getNumPartitions() < max(parts // 2, 2):
+        return df.repartition(parts)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -1379,7 +1399,7 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from harvester_fgp_spark.operators.dedup import minhash_near_dup_pairs
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
     dup = docs.withColumn("doc_id", F.col("doc_id") + 10000)
     return minhash_near_dup_pairs(docs.unionByName(dup), id_col="doc_id")
 
@@ -1494,7 +1514,7 @@ def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ between engines."""
     from harvester_fgp_spark.operators.textops import with_text_analysis
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     return (
         with_text_analysis(docs)
         .groupBy("lang", "detected_lang")
@@ -1864,7 +1884,7 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised; the oracle re-derives grams as strings in DuckDB."""
     from harvester_fgp_spark.operators.dedup import decontaminate
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     planted = docs.filter(F.col("doc_id") % 83 == 0).select(
         (F.col("doc_id") + 50000).alias("doc_id"),
         "lang",
@@ -2163,7 +2183,7 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the bigram frequency table shuffles, doc-scoped keys)."""
     from harvester_fgp_spark.operators.textops import repetition_stats
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _read_spread(spark, sf_dir, "documents").select("doc_id", "text")
     return repetition_stats(docs)
 
 
@@ -2178,7 +2198,7 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     +10000."""
     from harvester_fgp_spark.operators.similarity import semantic_dedup
 
-    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _read_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") % 4 == 0).withColumn(
         "vec_id", F.col("vec_id") + 10000
     )

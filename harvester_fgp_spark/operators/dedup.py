@@ -1201,16 +1201,89 @@ def decontaminate(
 
     Output: (id_col, n_shared) for contaminated docs only; callers
     left-join and treat null as clean.
+
+    Round 8 (guide §4.2 + §2.3): the rolling window hash was a native
+    transform/sequence/slice chain — one interpreted concat_ws+xxhash64
+    lambda PER WINDOW (~25M at sf1.0; 12.7 s, the round-7 bench's #2
+    query). Both sides now hash their windows in ONE zero-copy Arrow
+    kernel (functions.tokens: split(" ")-exact tokenization, k-token
+    polynomial gram hashes — ~k vectorized passes per batch), and the
+    corpus side dedups per doc INSIDE the kernel, so the old corpus-wide
+    (id, wh) distinct — the only corpus-sized shuffle in the query —
+    disappears: corpus gram rows flow scan -> kernel -> broadcast semi
+    join, and only the surviving (contaminated) rows reach the final
+    groupBy. Hash values are kernel-internal; gram EQUALITY still means
+    word-sequence equality (split-exact tokens), so the shared-window
+    counts are unchanged — verified row-exact vs the native plan at
+    sf0.01/0.1/1.0 and against the DuckDB string-longhand oracle.
     """
-
-    def grams(df: DataFrame, with_id: bool) -> DataFrame:
-        cols = [F.col(id_col)] if with_id else []
-        return _window_hash_rows(df, n_tokens, text_col, cols).distinct()
-
-    bench_g = F.broadcast(grams(bench, with_id=False))
+    corpus_g = _gram_rows_arrow(
+        docs, n_tokens, id_col, text_col, distinct_per_doc=True
+    )
+    bench_g = F.broadcast(
+        _gram_rows_arrow(
+            bench.select(
+                F.lit(0).cast("long").alias("_bench_id"),
+                F.col(text_col),
+            ),
+            n_tokens,
+            "_bench_id",
+            text_col,
+            distinct_per_doc=True,
+        )
+        .select("wh")
+        .distinct()
+    )
     return (
-        grams(docs, with_id=True)
-        .join(bench_g, "wh", "left_semi")
+        corpus_g.join(bench_g, "wh", "left_semi")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def _gram_rows_arrow(
+    df: DataFrame,
+    n_tokens: int,
+    id_col: str,
+    text_col: str,
+    distinct_per_doc: bool,
+) -> DataFrame:
+    """(id, wh) — one row per k-token window (optionally per-doc
+    distinct), hashed in one zero-copy Arrow pass. Matches
+    ``_window_hash_rows`` row-for-row up to the hash values themselves:
+    split(" ") tokenization (empty tokens included), docs with fewer
+    than ``n_tokens`` tokens emit nothing (a null text reads as one
+    empty token and is covered by that rule for n_tokens > 1)."""
+    from pyspark.sql.types import StructField, StructType
+
+    from ..functions import tokens as T
+
+    src = df.select(id_col, text_col)
+    schema = StructType(
+        [src.schema[0], StructField("wh", LongType(), False)]
+    )
+
+    def _grams(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids, texts = batch.column(0), batch.column(1)
+            offs, data = T.string_buffers(texts)
+            tok_doc, starts, lens, _ = T.space_token_arrays(offs, data)
+            wh = T.hash_tokens(data, starts, lens)
+            gdoc, gh = T.gram_hashes(wh, tok_doc, n_tokens)
+            if not len(gdoc):
+                continue
+            if distinct_per_doc:
+                order = np.lexsort((gh, gdoc))
+                gdoc, gh = gdoc[order], gh[order]
+                keep = np.empty(len(gh), dtype=bool)
+                keep[0] = True
+                keep[1:] = (gh[1:] != gh[:-1]) | (gdoc[1:] != gdoc[:-1])
+                gdoc, gh = gdoc[keep], gh[keep]
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(gdoc)), pa.array(gh.view(np.int64))],
+                names=[id_col, "wh"],
+            )
+
+    return src.mapInArrow(_grams, schema)

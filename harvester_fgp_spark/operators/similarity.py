@@ -49,6 +49,17 @@ def cosine_sim_col(a: str | Column, b: str | Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+#: cos_sim is rounded to 6 decimals before ranking, so a candidate can
+#: only displace another whose UNROUNDED value is within one rounding
+#: step (1e-6) plus both rounding shifts (<= 5e-7 each). A per-block
+#: keep-margin of 3e-6 below the block's k-th best unrounded value is
+#: therefore a guaranteed superset of the global rounded top-k: if a
+#: candidate x is dropped, >= k block-mates have unrounded cos
+#: > x + 3e-6, hence rounded cos >= round(x) + 1e-6 — x can never rank
+#: <= k. (Proof in OPTIMIZATION_r08.md; the margin is 3x the minimum.)
+_TOPK_ROUND_MARGIN = 3.0e-6
+
+
 def cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -57,25 +68,90 @@ def cosine_topk(
     c_id: str = "c_id",
     q_emb: str = "q_emb",
     c_emb: str = "c_emb",
+    n_blocks: "int | None" = None,
 ) -> DataFrame:
-    """Exact brute-force top-k (baseline; O(Q x N) cross join).
+    """Exact top-k per query — O(Q x N) pair arithmetic, vectorized.
 
-    Norms are precomputed per SIDE before the join — recomputing them per
-    pair would triple the arithmetic inside the O(Q x N) hot loop.
+    Round-8 shape (guide §4.2): the round-1..7 crossJoin evaluated one
+    interpreted zip_with/aggregate lambda chain PER PAIR (~130 expression
+    evaluations per 64-dim dot product; 55.9 s at 400 x 20k pairs, the
+    round-7 driver bench's single most expensive query). The pairs still
+    all get computed — exactness requires it — but now inside a cogrouped
+    Arrow kernel that runs the dot products as ~d vectorized numpy passes
+    per (candidate-block x query-set) tile: candidates hash into
+    scale-adaptive blocks, queries replicate to every block (Q x n_blocks
+    rows of metadata-sized shuffle, guide §2.3), and each block emits
+    only its margin-guarded top-k superset (~k rows per query per block),
+    so the O(Q x N) pair stream never hits a shuffle. A native
+    round + row_number window over ~k x n_blocks rows per query finishes.
+
+    BIT-EXACT by construction, not approximately equal: the kernel
+    accumulates dot products and norms left-to-right over the dimension
+    axis in float64 — the same IEEE operation sequence as the native
+    aggregate(zip_with(cast double)) it replaces — and the final
+    ROUND/rank runs in Spark on the raw doubles, so every emitted
+    (q_id, c_id, rank, cos_sim) row is identical to the round-7 plan's
+    (verified row-exact at sf0.001/0.01/0.1/1.0; the superset-margin
+    argument above covers selection).
     """
-    qn = queries.withColumn("_qn", F.sqrt(_dot(q_emb, q_emb)))
-    cn = candidates.withColumn("_cn", F.sqrt(_dot(c_emb, c_emb)))
-    j = (
-        qn.crossJoin(cn)
-        .filter(F.col(q_id) != F.col(c_id))
-        .withColumn(
-            "cos_sim",
-            F.round(_dot(q_emb, c_emb) / (F.col("_qn") * F.col("_cn")), 6),
+    spark = queries.sparkSession
+    if n_blocks is None:
+        n_blocks = max(int(spark.sparkContext.defaultParallelism) * 2, 8)
+    q_id_t = queries.schema[q_id].dataType.simpleString()
+    c_id_t = candidates.schema[c_id].dataType.simpleString()
+    blocks = spark.range(n_blocks).select(F.col("id").cast("int").alias("_blk"))
+    qrep = queries.select(q_id, q_emb).crossJoin(F.broadcast(blocks))
+    cblk = candidates.select(c_id, c_emb).withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col(c_id)), F.lit(n_blocks)).cast("int")
+    )
+    margin = _TOPK_ROUND_MARGIN
+
+    def _block_topk(cands: pd.DataFrame, qs: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({q_id: [], c_id: [], "_cos": []})
+        if len(cands) == 0 or len(qs) == 0:
+            return empty
+        C = np.stack(cands[c_emb].to_numpy()).astype(np.float64)
+        Q = np.stack(qs[q_emb].to_numpy()).astype(np.float64)
+        # left-to-right accumulation over dims: IEEE-identical to the
+        # native aggregate(zip_with(...)) sequential double sum
+        acc = np.zeros((Q.shape[0], C.shape[0]))
+        qn = np.zeros(Q.shape[0])
+        cn = np.zeros(C.shape[0])
+        for j in range(C.shape[1]):
+            acc += Q[:, j : j + 1] * C[:, j]
+            qn += Q[:, j] * Q[:, j]
+            cn += C[:, j] * C[:, j]
+        cos = acc / (np.sqrt(qn)[:, None] * np.sqrt(cn)[None, :])
+        self_mask = qs[q_id].to_numpy()[:, None] == cands[c_id].to_numpy()[None, :]
+        # Spark sorts NaN FIRST under desc — treat NaN as +inf for the
+        # k-th-value selection and always keep NaN rows; the Spark-side
+        # window then orders them exactly as the old plan did
+        sel = np.where(self_mask, -np.inf, np.nan_to_num(cos, nan=np.inf))
+        if sel.shape[1] >= k:
+            kth = np.sort(sel, axis=1)[:, -k]
+        else:
+            kth = np.full(sel.shape[0], -np.inf)
+        keep = ~self_mask & ((cos >= kth[:, None] - margin) | np.isnan(cos))
+        qi, ci = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                q_id: qs[q_id].to_numpy()[qi],
+                c_id: cands[c_id].to_numpy()[ci],
+                "_cos": cos[qi, ci],
+            }
+        )
+
+    out = (
+        cblk.groupby("_blk")
+        .cogroup(qrep.groupby("_blk"))
+        .applyInPandas(
+            _block_topk, schema=f"{q_id} {q_id_t}, {c_id} {c_id_t}, _cos double"
         )
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
     return (
-        j.withColumn("rank", F.row_number().over(w))
+        out.withColumn("cos_sim", F.round(F.col("_cos"), 6))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, "rank", "cos_sim")
     )

@@ -34,6 +34,12 @@ def build_session(
         # 3.9 / 3.1 / 4.9 s — 16k amortizes per-batch Python overhead while
         # staying ~32 MB/batch at ~2 KB html payloads; 64k over-buffers
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
+        # NOTE (round 8, measured): spark.sql.files.minPartitionNum is
+        # left UNSET — the splitter's default minimum is already
+        # leafNodeDefaultParallelism (= cores); forcing it to 1 costs
+        # 2-4x on the lineitem scans, forcing it to cores changes
+        # nothing. Single-ROW-GROUP fixture files still scan as one
+        # task regardless; see __spark_entry__._read_spread.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -116,15 +116,34 @@ def test_partition_pruning(spark, tmp_path):
 
 def test_decontaminate_bench_side_broadcasts(spark, sf_dir):
     """The eval-set gram join must be a broadcast (bench sets are MBs
-    against a TB corpus) and the whole query pure-JVM — decontamination
-    that shuffles the corpus gram stream against a shuffled bench side
-    or drops into Python would not survive 100x."""
+    against a TB corpus) — decontamination that shuffles the corpus gram
+    stream against a shuffled bench side would not survive 100x. Round
+    8: the corpus side must ALSO be shuffle-free up to the semi-join —
+    grams are hashed and per-doc-deduped inside one Arrow kernel, so
+    the only Exchange left of the final groupBy is the broadcast build;
+    the old corpus-wide (id, wh) distinct shuffle is gone."""
     df = E.queries()["decontaminate"](spark, sf_dir)
     df.collect()
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
-    assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+    # operator-level shape: the only hash-partitioned Exchanges are the
+    # final per-doc groupBy over contaminated survivors and the bench
+    # side's distinct (broadcast build) — the corpus gram stream itself
+    # must never shuffle
+    from harvester_fgp_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    op = decontaminate(docs, bench)
+    op.collect()
+    # AQE explain output repeats the tree under "== Initial Plan ==" —
+    # count nodes in the final section only
+    op_plan = _plan(op).split("== Initial Plan ==")[0]
+    assert op_plan.count("Exchange hashpartitioning") <= 2
+    assert op_plan.count("MapInArrow") == 2
 
 
 def test_dbscan_neighbor_join_is_equi_not_nlj(spark, sf_dir):

@@ -307,12 +307,36 @@ def test_repetition_stats_handcomputed(spark):
     assert out.loc[3].dup_bigram_micro == 666667
 
 
-def test_repetition_stats_stays_native(spark, sf_dir):
+def test_repetition_stats_shuffle_free(spark, sf_dir):
+    """Round-8 shape: all three fractions are per-document, so the plan
+    must carry NO Exchange at all — one scan, one Arrow kernel, one
+    projection. (Rounds 3-7 exploded a row per bigram string through two
+    corpus-wide groupBys.)"""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     plan = plan_string(repetition_stats(docs))
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+    assert plan.count("MapInArrow") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_repetition_stats_custom_sep_matches_arrow_path(spark):
+    """The regex-separator fallback is a different physical plan (staged
+    native HOFs, still shuffle-free); on single-space text both paths
+    must agree row-for-row."""
+    docs = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "x y z"), (2, "solo"), (3, "t t t t")],
+        "doc_id long, text string",
+    )
+    arrow_rows = {
+        r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()
+    }
+    native = repetition_stats(docs, sep="[ ]")
+    plan = plan_string(native)
+    assert "Exchange" not in plan and "MapInArrow" not in plan
+    native_rows = {r["doc_id"]: r.asDict() for r in native.collect()}
+    assert arrow_rows == native_rows
 
 
 # --- semantic dedup ---------------------------------------------------------
