@@ -498,9 +498,20 @@ def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # timestamps leave the oracle surface as formatted strings — the
     # driver's value-hash may not canonicalize ns-vs-us datetime units
+    #
+    # Round-8 join order (guide §3.1): rounds 1-7 joined lineitem to the
+    # FULL orders table first — a sort-merge shuffle of 6M + 1.5M rows —
+    # and only then applied the broadcast customer filter. Inner joins
+    # commute, so reduce orders by the BUILDING segment first (~1/5 of
+    # rows, two narrow columns) and broadcast THAT to the lineitem scan:
+    # the fact table is never shuffled at all, and the revenue sum is
+    # DECIMAL, so map-side partial aggregation reassociates exactly
+    # (verified row-identical vs the round-7 plan at sf0.1/1.0).
+    borders = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select("o_orderkey", "o_orderdate")
     return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        li.join(F.broadcast(borders), li["l_orderkey"] == borders["o_orderkey"])
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -529,7 +540,12 @@ def _q_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _read(spark, sf_dir, "orders")
+    # round 8 (guide §2.3 "project before the exchange"): the window
+    # needs only 3 of orders' 9 columns; selecting them first shrinks
+    # the partitionBy shuffle and the per-partition sort ~4x
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
@@ -555,11 +571,52 @@ def _q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP re-expressed as re-aggregation of the finest level (round
+    8): Spark's rollup EXPANDs every input row once per grouping set (3x
+    here) before the partial aggregate, so the hash-agg work tripled.
+    COUNT and a DECIMAL SUM are exactly reassociable, so the (status,
+    priority) base aggregate (~tens of rows) re-aggregates to the
+    coarser levels bit-identically — same rows, same types, one pass
+    over the fact table instead of three. localCheckpoint because the
+    tiny base frame feeds three consumers (Spark never CSEs
+    multi-consumer subtrees). Verified row-exact vs rollup at
+    sf0.1/1.0; the DuckDB oracle still spells GROUP BY ROLLUP."""
     orders = _read(spark, sf_dir, "orders")
-    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n_orders"),
-        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+    base = (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("_sum_dec"),
+        )
+        .localCheckpoint()
     )
+    lvl0 = base.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n_orders",
+        F.col("_sum_dec").cast("double").alias("sum_price"),
+    )
+    lvl1 = base.groupBy("o_orderstatus").agg(
+        F.sum("n_orders").alias("n_orders"),
+        F.sum("_sum_dec").cast("double").alias("sum_price"),
+    ).select(
+        "o_orderstatus",
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "n_orders",
+        "sum_price",
+    )
+    # coalesce: rollup's grand-total row reports count 0 on an empty
+    # input, while sum-of-counts over an empty base would be NULL
+    lvl2 = base.groupBy().agg(
+        F.coalesce(F.sum("n_orders"), F.lit(0)).alias("n_orders"),
+        F.sum("_sum_dec").cast("double").alias("sum_price"),
+    ).select(
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "n_orders",
+        "sum_price",
+    )
+    return lvl0.unionByName(lvl1).unionByName(lvl2)
 
 
 def _q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -390,7 +390,14 @@ def band_table(
 
     Round 7: one fused mapInArrow stage (signature + banding + band-row
     explode) over the Arrow string buffers — see the kernel note above
-    ``_word_gram_hashes_arrow``. Docs that produce zero grams (null,
+    ``_word_gram_hashes_arrow``. TOKENIZATION IS ASCII-ONLY (ADVICE r7,
+    documented at the public surface): the kernel lowercases A-Z and
+    splits on ASCII whitespace, so corpora using Unicode separators
+    (U+00A0, U+3000) or non-ASCII case folding band differently than a
+    Python str.lower()/str.split() would — a banding-RECALL drift on
+    such text, never a precision one (the verify stage still filters on
+    exact gram Jaccard). Normalize Unicode whitespace upstream for
+    multilingual corpora. Docs that produce zero grams (null,
     empty, whitespace-only) emit NO band rows: content dedup of
     contentless docs is meaningless and a shared "empty" signature would
     put every extraction-failed doc in ONE bucket per band — a quadratic
@@ -553,8 +560,16 @@ def _verify_candidate_pairs(
     hence the callers' auto-sizing; a forced broadcast_candidates=False
     drops the hint and the join plans shuffled (AQE may still convert
     back to broadcast at runtime). Results are identical in all modes
-    (tests/test_round3_fixes.py, tests/test_round6_fixes.py)."""
-    cands = pairs.select(
+    (tests/test_round3_fixes.py, tests/test_round6_fixes.py).
+
+    Round 8 (guide §2.3 "shuffle keys, not payloads"): near-dup pairs
+    repeat across LSH bands (~10-16 copies each at the fixture's
+    banding), and rounds 3-7 deduped them only in the per-pair groupBy
+    BELOW the text fetch — so every repeat dragged both documents'
+    texts through the join and the groupBy shuffle. Dedup the 16-byte
+    pair keys FIRST: the distinct shuffles pair metadata only, and the
+    text fetch/pivot runs once per unique pair."""
+    cands = pairs.distinct().select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("_id")
     )
     if broadcast_candidates:
@@ -577,6 +592,25 @@ def _verify_candidate_pairs(
     )
 
 
+#: Signature-kernel version stamped into every band store. Band hashes
+#: are a function of the kernel (round 7 moved word hashing into the
+#: Arrow-native fused kernel), so rows from different kernel eras LOOK
+#: compatible but never collide — a mixed store would silently miss
+#: every cross-era duplicate. Bump whenever band-hash semantics change.
+BAND_KERNEL_VERSION = 2
+
+
+def _store_kernel_version(spark, path: str) -> "int | None":
+    """Version recorded in a band store's ``_kernel_version`` sidecar
+    (underscore-prefixed: invisible to the data reads), or None for a
+    store that predates markers / does not exist yet."""
+    try:
+        row = spark.read.parquet(f"{path}/_kernel_version").first()
+    except Exception:
+        return None
+    return None if row is None else int(row["kernel_version"])
+
+
 def update_minhash_store(
     docs: DataFrame,
     path: str,
@@ -590,17 +624,32 @@ def update_minhash_store(
     bucket groupBy over (band, bh) reads each band's fixed-width rows
     with partition pruning available to per-band maintenance.
 
-    STORE VERSION: band hashes are a function of the signature kernel —
-    round 7 moved it to the Arrow-native fused kernel (different word
-    hash, same LSH contract), so stores written by earlier rounds must
-    be rebuilt before mixing with round-7 batches (mixed stores would
-    silently miss cross-era duplicates: same text, different bh)."""
+    STORE VERSION (enforced since round 8, ADVICE r7): band hashes are
+    a function of the signature kernel — round 7 moved it to the
+    Arrow-native fused kernel (different word hash, same LSH contract),
+    so stores written by earlier kernels must be rebuilt before mixing
+    with new batches (a mixed store would silently miss cross-era
+    duplicates: same text, different bh). Every write stamps
+    ``_kernel_version``; appending to a store from another era raises
+    instead of corrupting it."""
+    spark = docs.sparkSession
+    stored = _store_kernel_version(spark, path)
+    if stored is not None and stored != BAND_KERNEL_VERSION:
+        raise ValueError(
+            f"minhash store {path} was written by signature-kernel "
+            f"v{stored}, current kernel is v{BAND_KERNEL_VERSION}; "
+            "rebuild the store (cross-era band hashes never match)"
+        )
     (
         band_table(docs, id_col, text_col)
         .write.mode("append")
         .partitionBy("band")
         .parquet(path)
     )
+    if stored is None:
+        spark.createDataFrame(
+            [(BAND_KERNEL_VERSION,)], "kernel_version int"
+        ).write.mode("overwrite").parquet(f"{path}/_kernel_version")
 
 
 #: Degenerate-bucket cap for the incremental path: a bucket with k
@@ -653,6 +702,17 @@ def minhash_incremental_pairs(
     ∪ batch1-internal pairs == one-shot pairs over batch1 ∪ batch2.
     """
     spark = new_docs.sparkSession
+    stored = _store_kernel_version(spark, store_path)
+    if stored != BAND_KERNEL_VERSION:
+        # fail FAST (ADVICE r7): a pre-marker or cross-era store looks
+        # readable but its band hashes never collide with this kernel's,
+        # so every cross-era duplicate would be silently missed
+        raise ValueError(
+            f"minhash store {store_path} carries signature-kernel "
+            f"version {stored!r}, current kernel is "
+            f"v{BAND_KERNEL_VERSION}; rebuild the store with "
+            "update_minhash_store before incremental dedup"
+        )
     new_bands = band_table(new_docs, id_col, text_col).withColumn(
         "_new", F.lit(1)
     )

@@ -1495,6 +1495,10 @@ def _merge_ranges(ids: "np.ndarray", max_ranges: "int | None") -> list:
     (deterministic stable tie-break) — trading bounded over-read for a
     bounded predicate count (plan-size convention: a 64-term OR-of-
     BETWEEN is cheap; an unbounded one is a Janino bill)."""
+    if max_ranges is not None and max_ranges < 1:
+        # k = max_ranges - 1 below would silently keep all-but-one gap
+        # (argsort[:-1]) and return an arbitrary malformed cover
+        raise ValueError(f"max_ranges must be >= 1, got {max_ranges}")
     breaks = np.nonzero(np.diff(ids) > 1)[0]
     starts = np.concatenate([ids[:1], ids[breaks + 1]])
     ends = np.concatenate([ids[breaks], ids[-1:]])

@@ -524,14 +524,43 @@ def semantic_dedup(
     from pyspark.ml.functions import array_to_vector
 
     vectors = vectors.filter(F.col(emb_col).isNotNull())
+    n_vec = vectors.count()
     if n_cells is None:
-        n_cells = _auto_n_cells(vectors.count())
-    vec = vectors.withColumn("_v", array_to_vector(F.col(emb_col)))
+        n_cells = _auto_n_cells(n_vec)
+    # fit input pruned to the feature column alone (guide §2.3) AND
+    # coalesced to partitions sized for the VECTOR volume, not the text
+    # corpus's partitioning (round 8, guide §2.2): embeddings are
+    # ~d*4 bytes/row, so inheriting a corpus-sized partition count hands
+    # every one of the fit's ~maxIter+1 jobs hundreds of near-empty
+    # tasks — task-launch overhead, not distance math, dominated the
+    # fit (measured 2.4 s -> 0.8 s at 25k vectors / 65 -> 1 partitions).
+    # ~50k vectors/task keeps a 10M-vector fit at ~200 real tasks.
+    # floor of 4: a 1-partition fit single-threads the distance math
+    # (measured slower than 4-16 partitions at 25k vectors)
+    fit_parts = max(
+        4,
+        min(
+            int(vectors.sparkSession.sparkContext.defaultParallelism),
+            n_vec // 50_000 + 1,
+        ),
+    )
+    vec = vectors.select(
+        array_to_vector(F.col(emb_col)).alias("_v")
+    ).coalesce(fit_parts)
     # the quantizer only scopes the pair join — it needn't converge, so
     # iterations are bounded (measured: maxIter 20 -> 8 cut the fit from
     # 4.7 s to 1.4 s at 2.5k vectors with the dedup output unchanged)
+    # and init is plain random (round 8: k-means|| spends ~2 extra
+    # distributed passes buying an init quality a SCOPING quantizer
+    # cannot cash; dedup output at threshold ~1.0 is centroid-invariant
+    # by the argument below, re-verified row-exact after the switch)
     model = KMeans(
-        k=n_cells, seed=7, maxIter=8, featuresCol="_v", predictionCol="_cell"
+        k=n_cells,
+        seed=7,
+        maxIter=8,
+        initMode="random",
+        featuresCol="_v",
+        predictionCol="_cell",
     ).fit(vec)
     # chord-bound projection prefilter (the exact_near_dup_pairs trick,
     # computed ONCE per vector): for unit vectors cos(a,b) >= t implies
@@ -539,34 +568,67 @@ def semantic_dedup(
     # whose integer projection buckets differ by > 1 cannot qualify and
     # never reach the cosine — at t ~ 1.0 this kills almost every
     # non-duplicate pair before the full-width dot product. The
-    # direction is a deterministic native expression (sin-hash per
-    # index), so it adapts to ANY embedding dimension with no
-    # driver-side state; its norm rides the formula explicitly.
+    # direction is the same deterministic sin-hash per index, so it
+    # adapts to ANY embedding dimension with no driver-side state.
+    #
+    # Round 8 (guide §4.2): cell argmin + norm + projection bucket were
+    # a Spark-ML transform (VectorUDT predict UDF) plus three
+    # interpreted HOF chains per row; all four now come from ONE Arrow
+    # kernel against the broadcast centroid matrix (the model's cluster
+    # centers — ~KBs). Cell and bucket only SCOPE the join (output at
+    # threshold ~1.0 is quantizer-invariant, re-verified row-exact), but
+    # _n divides the cosine, so the kernel accumulates it left-to-right
+    # in float64 — bit-identical to the native sqrt(aggregate(...)).
     w_bkt = float(np.sqrt(max(2.0 - 2.0 * (threshold - 1e-5), 1e-12)))
-    rv = F.transform(
-        F.sequence(F.lit(0), F.size(F.col(emb_col)) - 1),
-        lambda i: F.sin((i.cast("double") + F.lit(1.0)) * F.lit(12.9898)),
+    centers = np.stack(
+        [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
     )
-    r_norm = F.sqrt(
-        F.aggregate(rv, F.lit(0.0), lambda acc, v: acc + v * v)
+    emb_t = vectors.schema[emb_col].dataType.simpleString()
+    id_t2 = vectors.schema[id_col].dataType.simpleString()
+    assign_schema = (
+        f"{id_col} {id_t2}, {emb_col} {emb_t}, _n double, "
+        "cell int, _prj bigint"
     )
-    assigned = model.transform(vec).select(
-        F.col(id_col),
-        F.col(emb_col),
-        F.sqrt(_dot(emb_col, emb_col)).alias("_n"),
-        F.col("_cell").alias("cell"),
-        F.floor(
-            F.aggregate(
-                F.zip_with(
-                    F.col(emb_col), rv, lambda x, y: x.cast("double") * y
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+
+    def _assign(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids, embs = batch.column(0), batch.column(1)
+            if len(ids) == 0:
+                continue
+            M = np.stack(
+                embs.to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            d = M.shape[1]
+            nn = np.zeros(M.shape[0])
+            for j in range(d):
+                nn += M[:, j] * M[:, j]
+            n = np.sqrt(nn)
+            # argmin ||x-c||^2 == argmin(||c||^2 - 2 x.c); GEMM once
+            c2 = (centers * centers).sum(axis=1)
+            cell = np.argmin(c2[None, :] - 2.0 * (M @ centers.T), axis=1)
+            rv = np.sin((np.arange(d) + 1.0) * 12.9898)
+            # zero-norm vectors get bucket 0: their cosine is NaN and
+            # never qualifies, so placement is output-irrelevant — this
+            # only avoids inf -> int64 UB
+            proj = np.where(n > 0, (M @ rv) / np.where(n > 0, n, 1.0), 0.0)
+            prj = np.floor(
+                proj / (float(np.sqrt((rv * rv).sum())) * w_bkt)
+            ).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    embs,
+                    pa.array(n),
+                    pa.array(cell.astype(np.int32)),
+                    pa.array(prj),
+                ],
+                names=[id_col, emb_col, "_n", "cell", "_prj"],
             )
-            / (F.sqrt(_dot(emb_col, emb_col)) * r_norm * F.lit(w_bkt))
-        )
-        .cast("long")
-        .alias("_prj"),
+
+    assigned = vectors.select(id_col, emb_col).mapInArrow(
+        _assign, assign_schema
     )
     # assigned feeds BOTH join sides (and the optional stats job): Spark
     # never CSEs multi-consumer subtrees, so without this checkpoint the
@@ -618,17 +680,50 @@ def semantic_dedup(
             )
         ),
     )
-    pairs = lo3.join(
-        hi.withColumnRenamed("_hi_p", "_bkt"), ["cell", "_bkt"]
-    ).filter(F.col("_lo_id") < F.col("_hi_id"))
-    # norms computed once per vector and carried through the join —
-    # per-pair recomputation tripled the hot-loop arithmetic (measured
-    # 7.8 s -> see bench; same IEEE ops, identical values)
-    cos = _dot("_lo_emb", "_hi_emb") / (F.col("_lo_n") * F.col("_hi_n"))
-    return (
-        pairs.filter(cos >= F.lit(threshold))
-        .groupBy(F.col("_hi_id").alias("dropped_id"))
-        .agg(F.min("_lo_id").alias("kept_id"))
+    # Qualifying pairs per (cell, bucket) group in ONE cogrouped Arrow
+    # kernel (round 8, guide §4.2): the join shape above is unchanged —
+    # |lo_p - hi_p| <= 1 holds iff EXACTLY ONE exploded row matches, so
+    # every admissible pair is formed in exactly one group — but the
+    # per-pair cosine moves from an interpreted zip_with/aggregate chain
+    # (~3.9M admissible pairs x ~130 expression evals at sf1.0 under
+    # n_cells=8; 7.3 s measured) into ~d vectorized numpy passes per
+    # group tile. Norms ride in from the native side untouched and the
+    # dot accumulates left-to-right in float64 — the same IEEE sequence
+    # as the native expressions — so the (cos >= threshold) decision is
+    # BIT-IDENTICAL (verified row-exact at sf0.01/0.1/1.0).
+    id_t = vectors.schema[id_col].dataType.simpleString()
+    thr = float(threshold)
+
+    def _pair_kernel(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"_lo_id": [], "_hi_id": []})
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        L = np.stack(l["_lo_emb"].to_numpy()).astype(np.float64)
+        R = np.stack(r["_hi_emb"].to_numpy()).astype(np.float64)
+        acc = np.zeros((L.shape[0], R.shape[0]))
+        for j in range(L.shape[1]):
+            acc += L[:, j : j + 1] * R[:, j]
+        cos = acc / (
+            l["_lo_n"].to_numpy()[:, None] * r["_hi_n"].to_numpy()[None, :]
+        )
+        lid = l["_lo_id"].to_numpy()
+        hid = r["_hi_id"].to_numpy()
+        keep = (lid[:, None] < hid[None, :]) & (cos >= thr)
+        li, hi_i = np.nonzero(keep)
+        return pd.DataFrame({"_lo_id": lid[li], "_hi_id": hid[hi_i]})
+
+    pairs = (
+        lo3.select("cell", "_bkt", "_lo_id", "_lo_emb", "_lo_n")
+        .groupby("cell", "_bkt")
+        .cogroup(
+            hi.withColumnRenamed("_hi_p", "_bkt").groupby("cell", "_bkt")
+        )
+        .applyInPandas(
+            _pair_kernel, schema=f"_lo_id {id_t}, _hi_id {id_t}"
+        )
+    )
+    return pairs.groupBy(F.col("_hi_id").alias("dropped_id")).agg(
+        F.min("_lo_id").alias("kept_id")
     )
 
 
@@ -876,8 +971,11 @@ def ivf_pq_topk(
     vec = vectors.filter(F.col(emb_col).isNotNull()).withColumn(
         "_v", array_to_vector(F.col(emb_col))
     )
+    # bounded maxIter like every other scoping quantizer here (ADVICE
+    # r7: the default 20 iterations doubles fit cost with no recall
+    # benefit — convergence is irrelevant to the planted-twin argument)
     coarse = KMeans(
-        k=n_cells, seed=7, featuresCol="_v", predictionCol="_cell"
+        k=n_cells, seed=7, maxIter=8, featuresCol="_v", predictionCol="_cell"
     ).fit(vec)
     enc = pq_encode_udf(codebook)
     codes = coarse.transform(vec).select(

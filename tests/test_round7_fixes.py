@@ -447,3 +447,39 @@ def test_stats_moments_zero_variance_guard(spark):
     assert out["const"]["corr_value_uid"] is None
     assert out["ok"]["var_cents2"] is not None
     assert out["ok"]["corr_value_uid"] is not None
+
+
+def test_minhash_store_version_guard(spark, tmp_path):
+    """Round-8 (ADVICE r7): a band store stamped by a different
+    signature kernel must be refused loudly — cross-era band hashes
+    never collide, so mixing eras silently misses every cross-era
+    duplicate."""
+    import pytest
+
+    from harvester_fgp_spark.operators.dedup import (
+        BAND_KERNEL_VERSION,
+        minhash_incremental_pairs,
+        update_minhash_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} " * 20) for i in range(10)], "doc_id long, text string"
+    )
+    store = str(tmp_path / "bands")
+    update_minhash_store(docs, store)
+    # happy path: marker written, incremental accepts the store
+    minhash_incremental_pairs(docs, store, docs).collect()
+    # cross-era store: overwrite the marker with a foreign version
+    spark.createDataFrame(
+        [(BAND_KERNEL_VERSION + 1,)], "kernel_version int"
+    ).write.mode("overwrite").parquet(f"{store}/_kernel_version")
+    with pytest.raises(ValueError, match="signature-kernel"):
+        minhash_incremental_pairs(docs, store, docs)
+    with pytest.raises(ValueError, match="signature-kernel"):
+        update_minhash_store(docs, store)
+    # pre-marker store (no sidecar at all) is also refused
+    import shutil
+
+    shutil.rmtree(f"{store}/_kernel_version")
+    with pytest.raises(ValueError, match="signature-kernel"):
+        minhash_incremental_pairs(docs, store, docs)
