@@ -49,12 +49,15 @@ def _read_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for; queries whose plans are otherwise shuffle-free (the Arrow
     tokenizer/band kernels) would run their entire kernel on one core.
     The repartition shuffles only the fixture's own bytes (MBs). It is
-    conditional on the scan's actual split count, so a production corpus
-    with many files/row groups — where the same shuffle would be O(input)
-    — keeps its natural splits and never pays it."""
+    conditional on the table's FILE count (metadata only — no job, no
+    RDD access), so a production corpus laid out as many files — where
+    the same shuffle would be O(input) — keeps its natural splits and
+    never pays it. (A single huge MULTI-row-group file would be
+    repartitioned too; that layout is an anti-pattern the compaction
+    sink never produces.)"""
     df = _read(spark, sf_dir, name)
     parts = int(spark.sparkContext.defaultParallelism)
-    if df.rdd.getNumPartitions() < max(parts // 2, 2):
+    if len(df.inputFiles()) < max(parts // 2, 2):
         return df.repartition(parts)
     return df
 

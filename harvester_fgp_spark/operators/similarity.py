@@ -214,13 +214,50 @@ def exact_near_dup_pairs(
         F.col("_n").alias("nb"),
         "_bkt",
     )
-    return (
-        probe.join(build, "_bkt")
-        .filter(F.col("ia") < F.col("ib"))
-        .withColumn(
-            "cos_sim",
-            F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 6),
+    # Per-bucket pair cosines in ONE cogrouped Arrow kernel (round 8,
+    # guide §4.2 — the semantic_dedup pair-stage treatment): the
+    # equi-join candidate structure is unchanged (a qualifying pair
+    # matches at exactly one probe bucket and survives ia < ib exactly
+    # once), but the per-pair dot product runs as ~d vectorized numpy
+    # passes per bucket tile instead of an interpreted zip_with/
+    # aggregate lambda chain per pair. Dots accumulate left-to-right in
+    # float64 over the float32 inputs and norms ride in from the native
+    # side, so emitted values are bit-identical; the kernel pre-filters
+    # at threshold - 1e-6 (rounding to 6 decimals can raise a value by
+    # at most 5e-7, so no pair that rounds past the threshold is ever
+    # dropped) and the exact ROUND + >= threshold decision stays native.
+    id_t = emb.schema[id_col].dataType.simpleString()
+    thr_keep = float(threshold) - 1e-6
+
+    def _bucket_pairs(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"ia": [], "ib": [], "_cos": []})
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        A = np.stack(l["ea"].to_numpy()).astype(np.float64)
+        B = np.stack(r["eb"].to_numpy()).astype(np.float64)
+        acc = np.zeros((A.shape[0], B.shape[0]))
+        for j in range(A.shape[1]):
+            acc += A[:, j : j + 1] * B[:, j]
+        cos = acc / (
+            l["na"].to_numpy()[:, None] * r["nb"].to_numpy()[None, :]
         )
+        lid = l["ia"].to_numpy()
+        rid = r["ib"].to_numpy()
+        keep = (lid[:, None] < rid[None, :]) & (cos >= thr_keep)
+        li, ri = np.nonzero(keep)
+        return pd.DataFrame(
+            {"ia": lid[li], "ib": rid[ri], "_cos": cos[li, ri]}
+        )
+
+    pairs = (
+        probe.groupby("_bkt")
+        .cogroup(build.groupby("_bkt"))
+        .applyInPandas(
+            _bucket_pairs, schema=f"ia {id_t}, ib {id_t}, _cos double"
+        )
+    )
+    return (
+        pairs.withColumn("cos_sim", F.round(F.col("_cos"), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("ia", "ib", "cos_sim")
     )
