@@ -15,6 +15,8 @@ comparison or ranking.
 
 from __future__ import annotations
 
+import os
+import urllib.parse
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,19 +49,36 @@ def _read_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The driver fixture tables are SINGLE-ROW-GROUP parquet files, so a
     parquet scan yields one task no matter what minPartitionNum asks
     for; queries whose plans are otherwise shuffle-free (the Arrow
-    tokenizer/band kernels) would run their entire kernel on one core.
-    The repartition shuffles only the fixture's own bytes (MBs). It is
-    conditional on the table's FILE count (metadata only — no job, no
-    RDD access), so a production corpus laid out as many files — where
-    the same shuffle would be O(input) — keeps its natural splits and
-    never pays it. (A single huge MULTI-row-group file would be
-    repartitioned too; that layout is an anti-pattern the compaction
-    sink never produces.)"""
+    tokenizer/band kernels) would run their entire kernel on one core
+    (measured at sf1.0: semantic_dedup 18 s unspread vs 5.7, dedup_
+    minhash 5-10.7 vs 3.8, repetition_stats 1.5 vs 0.66). The decision
+    is metadata-only (no job, no RDD access) and TWO-sided, because the
+    repartition exchange itself costs ~0.5-1.5 s of fixed stage/task
+    overhead that a small fixture never earns back (same-window A/B at
+    sf0.1: spreading REGRESSED every doc query by ~0.6-1.5 s):
+      - many files (>= half the cores): production-shaped layout,
+        natural splits win — never spread;
+      - non-local files: production storage — never spread;
+      - tiny input (< 4 MB total): the serial kernel pass is cheaper
+        than the exchange — never spread;
+      - else (few big local files — the unsplittable-fixture shape,
+        guide §2.5): round-robin across the cores once.
+    (A single huge MULTI-row-group local file would be repartitioned
+    too; that layout is an anti-pattern the compaction sink never
+    produces.)"""
     df = _read(spark, sf_dir, name)
     parts = int(spark.sparkContext.defaultParallelism)
-    if len(df.inputFiles()) < max(parts // 2, 2):
-        return df.repartition(parts)
-    return df
+    files = df.inputFiles()
+    if len(files) >= max(parts // 2, 2):
+        return df
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return df
+        total += os.path.getsize(urllib.parse.unquote(urllib.parse.urlparse(f).path))
+    if total < 4 * 1024 * 1024:
+        return df
+    return df.repartition(parts)
 
 
 # ---------------------------------------------------------------------------

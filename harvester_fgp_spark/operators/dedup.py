@@ -514,6 +514,7 @@ def _verify_bucket_pairs(
     strategy and keep the whole plan lazy (no count job). The single
     non-iterative localCheckpoint here does not hit the compounding-
     origin-stats hazard that _stats_reset_checkpoint exists for."""
+    dedup_pairs = True
     if broadcast_candidates is None:
         buckets = buckets.localCheckpoint()
         k = F.size("_ids").cast("long")
@@ -522,6 +523,9 @@ def _verify_bucket_pairs(
             or 0
         )
         broadcast_candidates = n_pairs <= MAX_BROADCAST_PAIRS
+        # small candidate sets verify cheaply either way — the distinct
+        # exchange only pays for itself once band-repeat volume is real
+        dedup_pairs = n_pairs > MAX_BROADCAST_PAIRS // 2
     pair = F.filter(
         F.flatten(
             F.transform(
@@ -537,7 +541,8 @@ def _verify_bucket_pairs(
         "p.id_a", "p.id_b"
     )
     return _verify_candidate_pairs(
-        docs, pairs, id_col, text_col, threshold, broadcast_candidates
+        docs, pairs, id_col, text_col, threshold, broadcast_candidates,
+        dedup_pairs=dedup_pairs,
     )
 
 
@@ -548,6 +553,7 @@ def _verify_candidate_pairs(
     text_col: str,
     threshold: float,
     broadcast_candidates: bool,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """Shared exact-verify tail over a raw (id_a, id_b) candidate frame
     (repeats allowed): fetch both texts with ONE join against the
@@ -566,10 +572,15 @@ def _verify_candidate_pairs(
     repeat across LSH bands (~10-16 copies each at the fixture's
     banding), and rounds 3-7 deduped them only in the per-pair groupBy
     BELOW the text fetch — so every repeat dragged both documents'
-    texts through the join and the groupBy shuffle. Dedup the 16-byte
-    pair keys FIRST: the distinct shuffles pair metadata only, and the
-    text fetch/pivot runs once per unique pair."""
-    cands = pairs.distinct().select(
+    texts through the join and the groupBy shuffle. With
+    ``dedup_pairs`` (default, and chosen by the bucket path whenever
+    the counted candidate volume is large), dedup the 16-byte pair keys
+    FIRST: the distinct shuffles pair metadata only, and the text
+    fetch/pivot runs once per unique pair; tiny candidate sets skip the
+    extra exchange."""
+    if dedup_pairs:
+        pairs = pairs.distinct()
+    cands = pairs.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("_id")
     )
     if broadcast_candidates:

@@ -214,47 +214,59 @@ def exact_near_dup_pairs(
         F.col("_n").alias("nb"),
         "_bkt",
     )
-    # Per-bucket pair cosines in ONE cogrouped Arrow kernel (round 8,
-    # guide §4.2 — the semantic_dedup pair-stage treatment): the
-    # equi-join candidate structure is unchanged (a qualifying pair
-    # matches at exactly one probe bucket and survives ia < ib exactly
-    # once), but the per-pair dot product runs as ~d vectorized numpy
-    # passes per bucket tile instead of an interpreted zip_with/
-    # aggregate lambda chain per pair. Dots accumulate left-to-right in
-    # float64 over the float32 inputs and norms ride in from the native
-    # side, so emitted values are bit-identical; the kernel pre-filters
-    # at threshold - 1e-6 (rounding to 6 decimals can raise a value by
-    # at most 5e-7, so no pair that rounds past the threshold is ever
+    # Pair cosines in a BATCHED Arrow kernel over the joined candidate
+    # stream (round 8, guide §4.2 — the semantic_dedup pair-stage
+    # treatment): the native equi-join keeps its candidate structure (a
+    # qualifying pair matches at exactly one probe bucket and survives
+    # ia < ib exactly once), and the per-pair dot product runs as ~d
+    # vectorized numpy passes per 16k-row batch instead of an
+    # interpreted zip_with/aggregate lambda chain per pair. Per-batch —
+    # not per-bucket-group — granularity keeps the Python overhead
+    # scale-free. Dots accumulate left-to-right in float64 over the
+    # float32 inputs and norms ride in from the native side, so emitted
+    # values are bit-identical; the kernel pre-filters at
+    # threshold - 1e-6 (rounding to 6 decimals can raise a value by at
+    # most 5e-7, so no pair that rounds past the threshold is ever
     # dropped) and the exact ROUND + >= threshold decision stays native.
     id_t = emb.schema[id_col].dataType.simpleString()
     thr_keep = float(threshold) - 1e-6
+    joined = (
+        probe.join(build, "_bkt")
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", "ea", "eb", "na", "nb")
+    )
 
-    def _bucket_pairs(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"ia": [], "ib": [], "_cos": []})
-        if len(l) == 0 or len(r) == 0:
-            return empty
-        A = np.stack(l["ea"].to_numpy()).astype(np.float64)
-        B = np.stack(r["eb"].to_numpy()).astype(np.float64)
-        acc = np.zeros((A.shape[0], B.shape[0]))
-        for j in range(A.shape[1]):
-            acc += A[:, j : j + 1] * B[:, j]
-        cos = acc / (
-            l["na"].to_numpy()[:, None] * r["nb"].to_numpy()[None, :]
-        )
-        lid = l["ia"].to_numpy()
-        rid = r["ib"].to_numpy()
-        keep = (lid[:, None] < rid[None, :]) & (cos >= thr_keep)
-        li, ri = np.nonzero(keep)
-        return pd.DataFrame(
-            {"ia": lid[li], "ib": rid[ri], "_cos": cos[li, ri]}
-        )
+    def _pair_cos(batches):
+        import pyarrow as pa
 
-    pairs = (
-        probe.groupby("_bkt")
-        .cogroup(build.groupby("_bkt"))
-        .applyInPandas(
-            _bucket_pairs, schema=f"ia {id_t}, ib {id_t}, _cos double"
-        )
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            A = np.stack(
+                batch.column(2).to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            B = np.stack(
+                batch.column(3).to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            acc = np.zeros(A.shape[0])
+            for j in range(A.shape[1]):
+                acc += A[:, j] * B[:, j]
+            cos = acc / (
+                batch.column(4).to_numpy(zero_copy_only=False)
+                * batch.column(5).to_numpy(zero_copy_only=False)
+            )
+            keep = pa.array(cos >= thr_keep)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0).filter(keep),
+                    batch.column(1).filter(keep),
+                    pa.array(cos[cos >= thr_keep]),
+                ],
+                names=["ia", "ib", "_cos"],
+            )
+
+    pairs = joined.mapInArrow(
+        _pair_cos, schema=f"ia {id_t}, ib {id_t}, _cos double"
     )
     return (
         pairs.withColumn("cos_sim", F.round(F.col("_cos"), 6))
@@ -717,47 +729,58 @@ def semantic_dedup(
             )
         ),
     )
-    # Qualifying pairs per (cell, bucket) group in ONE cogrouped Arrow
-    # kernel (round 8, guide §4.2): the join shape above is unchanged —
-    # |lo_p - hi_p| <= 1 holds iff EXACTLY ONE exploded row matches, so
-    # every admissible pair is formed in exactly one group — but the
-    # per-pair cosine moves from an interpreted zip_with/aggregate chain
-    # (~3.9M admissible pairs x ~130 expression evals at sf1.0 under
-    # n_cells=8; 7.3 s measured) into ~d vectorized numpy passes per
-    # group tile. Norms ride in from the native side untouched and the
-    # dot accumulates left-to-right in float64 — the same IEEE sequence
-    # as the native expressions — so the (cos >= threshold) decision is
-    # BIT-IDENTICAL (verified row-exact at sf0.01/0.1/1.0).
+    # The per-pair cosine moves from an interpreted zip_with/aggregate
+    # chain (~3.9M admissible pairs x ~130 expression evals at sf1.0
+    # under n_cells=8; 7.3 s measured) into a BATCHED Arrow kernel over
+    # the joined pair stream (round 8, guide §4.2): the native equi-join
+    # above still forms exactly the chord-admissible pairs, and the
+    # kernel runs ~d vectorized numpy passes per 16k-row batch. Batch
+    # granularity matters: a first cut cogrouped per (cell, bucket) and
+    # paid the per-GROUP Arrow overhead x (n_cells x ~2/w buckets)
+    # groups — ~fine at sf1.0 but +2 s at sf0.1 and growing with
+    # auto-k at scale; per-batch overhead is scale-free. Norms ride in
+    # from the assignment kernel and the dot accumulates left-to-right
+    # in float64 — the same IEEE sequence as the native expressions — so
+    # the (cos >= threshold) decision is BIT-IDENTICAL (verified
+    # row-exact at sf0.01/0.1/1.0).
     id_t = vectors.schema[id_col].dataType.simpleString()
     thr = float(threshold)
+    joined = (
+        lo3.join(hi.withColumnRenamed("_hi_p", "_bkt"), ["cell", "_bkt"])
+        .filter(F.col("_lo_id") < F.col("_hi_id"))
+        .select("_lo_id", "_hi_id", "_lo_emb", "_hi_emb", "_lo_n", "_hi_n")
+    )
 
-    def _pair_kernel(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"_lo_id": [], "_hi_id": []})
-        if len(l) == 0 or len(r) == 0:
-            return empty
-        L = np.stack(l["_lo_emb"].to_numpy()).astype(np.float64)
-        R = np.stack(r["_hi_emb"].to_numpy()).astype(np.float64)
-        acc = np.zeros((L.shape[0], R.shape[0]))
-        for j in range(L.shape[1]):
-            acc += L[:, j : j + 1] * R[:, j]
-        cos = acc / (
-            l["_lo_n"].to_numpy()[:, None] * r["_hi_n"].to_numpy()[None, :]
-        )
-        lid = l["_lo_id"].to_numpy()
-        hid = r["_hi_id"].to_numpy()
-        keep = (lid[:, None] < hid[None, :]) & (cos >= thr)
-        li, hi_i = np.nonzero(keep)
-        return pd.DataFrame({"_lo_id": lid[li], "_hi_id": hid[hi_i]})
+    def _pair_cos(batches):
+        import pyarrow as pa
 
-    pairs = (
-        lo3.select("cell", "_bkt", "_lo_id", "_lo_emb", "_lo_n")
-        .groupby("cell", "_bkt")
-        .cogroup(
-            hi.withColumnRenamed("_hi_p", "_bkt").groupby("cell", "_bkt")
-        )
-        .applyInPandas(
-            _pair_kernel, schema=f"_lo_id {id_t}, _hi_id {id_t}"
-        )
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            A = np.stack(
+                batch.column(2).to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            B = np.stack(
+                batch.column(3).to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            acc = np.zeros(A.shape[0])
+            for j in range(A.shape[1]):
+                acc += A[:, j] * B[:, j]
+            cos = acc / (
+                batch.column(4).to_numpy(zero_copy_only=False)
+                * batch.column(5).to_numpy(zero_copy_only=False)
+            )
+            keep = cos >= thr
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0).filter(pa.array(keep)),
+                    batch.column(1).filter(pa.array(keep)),
+                ],
+                names=["_lo_id", "_hi_id"],
+            )
+
+    pairs = joined.mapInArrow(
+        _pair_cos, schema=f"_lo_id {id_t}, _hi_id {id_t}"
     )
     return pairs.groupBy(F.col("_hi_id").alias("dropped_id")).agg(
         F.min("_lo_id").alias("kept_id")
