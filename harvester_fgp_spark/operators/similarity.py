@@ -597,16 +597,17 @@ def semantic_dedup(
         array_to_vector(F.col(emb_col)).alias("_v")
     ).coalesce(fit_parts)
     # the quantizer only scopes the pair join — it needn't converge, so
-    # iterations are bounded (measured: maxIter 20 -> 8 cut the fit from
-    # 4.7 s to 1.4 s at 2.5k vectors with the dedup output unchanged)
-    # and init is plain random (round 8: k-means|| spends ~2 extra
-    # distributed passes buying an init quality a SCOPING quantizer
-    # cannot cash; dedup output at threshold ~1.0 is centroid-invariant
-    # by the argument below, re-verified row-exact after the switch)
+    # iterations are bounded (r6 measured maxIter 20 -> 8; round 8 cut
+    # to 4 — each iteration is one scheduler-bound job, the dedup output
+    # is centroid-invariant at threshold ~1.0, and the planted-near-dup
+    # pytest tier stayed green) and init is plain random (round 8:
+    # k-means|| spends ~2 extra distributed passes buying an init
+    # quality a SCOPING quantizer cannot cash; re-verified row-exact
+    # after both switches)
     model = KMeans(
         k=n_cells,
         seed=7,
-        maxIter=8,
+        maxIter=4,
         initMode="random",
         featuresCol="_v",
         predictionCol="_cell",
